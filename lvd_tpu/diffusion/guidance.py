@@ -1,0 +1,257 @@
+"""Cross-attention energy guidance, fully vectorized for TPU.
+
+Parity target: /root/reference/utils/guidance.py:154-574
+(`add_ca_loss_per_attn_map_to_loss`, `compute_ca_lossv3`) and
+/root/reference/models/pipelines.py:21-150 (`latent_backward_guidance`).
+
+Redesign for XLA (SURVEY.md §7): the reference loops in Python over
+(key, object, frame, token) and calls `topk` with data-dependent k. Here the
+loss is one tensor expression per instrumented key:
+
+* box masks are pre-rasterized host-side (layout/rasterize.GuidancePack),
+* token gathers use a padded (O, P) index matrix with a validity mask,
+* "mean of top-k with per-(object, frame) k" is computed from a full
+  descending sort with a rank < k weight — static shapes, differentiable,
+* the guidance step itself is `latents -= sqrt(1-abar_t) * grad(energy)`,
+  with the gradient obtained by `jax.grad` through the UNet's functional
+  attention outputs.
+
+Supported energy variants (same knobs as the reference): max-based (default),
+ratio-based, CE/NLL, attn-sync temporal consistency, BoxDiff corner loss,
+center-of-mass position+velocity loss.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class GuidanceConfig:
+    """Hyperparameters of the CA energy (reference generation/lvd.py:85-105
+    keyword defaults; README-recommended values live in the runners)."""
+
+    loss_scale: float = 5.0
+    loss_threshold: float = 200.0
+    max_iter: int = 5
+    max_index_step: int = 10
+    fg_top_p: float = 0.75
+    bg_top_p: float = 0.75
+    fg_weight: float = 1.0
+    bg_weight: float = 4.0
+    use_ratio_based_loss: bool = False
+    use_max_based_loss: bool = True
+    attn_sync_weight: float = 0.0
+    boxdiff_loss_scale: float = 0.0
+    boxdiff_normed: bool = True
+    com_loss_scale: float = 0.0
+    eps: float = 1e-2
+
+
+def _topk_mean_desc(values, k):
+    """Mean of the top-k entries along the last axis, with k a traced
+    per-slice integer array broadcastable against values[..., 0].
+
+    values: (..., N); k: broadcastable (...,) int. Returns (...,).
+    """
+    n = values.shape[-1]
+    sorted_desc = -jnp.sort(-values, axis=-1)
+    ranks = jnp.arange(n, dtype=jnp.int32)
+    kf = k.astype(jnp.float32)[..., None]
+    w = (ranks[None] < k[..., None]).astype(jnp.float32) / jnp.maximum(kf, 1.0)
+    return (sorted_desc * w).sum(-1)
+
+
+def _center_of_mass(x):
+    """x: (..., H, W) nonnegative -> (com_h, com_w) each (...,)."""
+    h = x.shape[-2]
+    w = x.shape[-1]
+    total = x.sum((-1, -2)) + 1e-12
+    hr = jnp.arange(h, dtype=jnp.float32)
+    wr = jnp.arange(w, dtype=jnp.float32)
+    com_h = (x.sum(-1) * hr).sum(-1) / total
+    com_w = (x.sum(-2) * wr).sum(-1) / total
+    return com_h, com_w
+
+
+def ca_energy_for_key(
+    attn,          # (F, heads, HW, L) float32 softmax probs (cond-only)
+    masks,         # (O, F, Hk, Wk) float32
+    token_indices, # (O, P) int32
+    token_mask,    # (O, P) float32
+    k_fg,          # (O, F) int32
+    k_bg,          # (O, F) int32
+    cfg: GuidanceConfig,
+):
+    """CA energy contribution of one instrumented attention layer.
+
+    Returns the scalar sum over objects of per-object losses, each already
+    divided by the object's (valid) token count — matching
+    add_ca_loss_per_attn_map_to_loss's `loss += obj_loss / len(positions)`.
+    """
+    n_f, n_heads, hw, _ = attn.shape
+    n_obj, n_p = token_indices.shape
+    hk, wk = masks.shape[2], masks.shape[3]
+    assert hk * wk == hw, f"mask grid {hk}x{wk} != attn dim {hw}"
+
+    attn = attn.astype(jnp.float32)
+    # Gather object-token maps: (F, heads, HW, O*P) -> (O, P, F, heads, HW)
+    gathered = jnp.take(attn, token_indices.reshape(-1), axis=-1)
+    gathered = gathered.reshape(n_f, n_heads, hw, n_obj, n_p)
+    a = jnp.transpose(gathered, (3, 4, 0, 1, 2))  # (O, P, F, h, HW)
+
+    m = masks.reshape(n_obj, 1, n_f, 1, hw)  # (O, 1, F, 1, HW)
+
+    obj_loss = jnp.zeros((n_obj, n_p, n_f), jnp.float32)
+
+    if cfg.use_ratio_based_loss:
+        inside = (a * m).sum(-1)                  # (O, P, F, h)
+        ratio = inside / (a.sum(-1) + cfg.eps)
+        obj_loss = obj_loss + ((1.0 - ratio) ** 2).mean(-1)
+    elif cfg.use_max_based_loss:
+        kf = jnp.broadcast_to(k_fg[:, None, :, None], a.shape[:-1])
+        kb = jnp.broadcast_to(k_bg[:, None, :, None], a.shape[:-1])
+        fg_mean = _topk_mean_desc(a * m, kf)          # (O, P, F, h)
+        bg_mean = _topk_mean_desc(a * (1.0 - m), kb)
+        obj_loss = obj_loss + cfg.fg_weight * (1.0 - fg_mean).sum(-1)
+        obj_loss = obj_loss + cfg.bg_weight * bg_mean.sum(-1)
+    else:
+        # CE / NLL variant (utils/guidance.py:363-397)
+        a_c = jnp.clip(a, cfg.eps, 1.0 - cfg.eps)
+        kf = jnp.broadcast_to(k_fg[:, None, :, None], a.shape[:-1])
+        kb = jnp.broadcast_to(k_bg[:, None, :, None], a.shape[:-1])
+        fg = _topk_mean_via_log(a_c * m, kf, cfg.eps)
+        bg_mean = _topk_mean_desc(a_c * (1.0 - m), kb)
+        obj_loss = obj_loss + cfg.fg_weight * fg.sum(-1)
+        obj_loss = obj_loss + cfg.bg_weight * (-jnp.log(1.0 - bg_mean)).sum(-1)
+
+    # Temporal consistency between consecutive in-box maps
+    # (utils/guidance.py:401-430): masked MSE between frame f and f+1 maps
+    # over frame-f's box, averaged over box area.
+    if cfg.attn_sync_weight != 0.0:
+        a_next = jnp.concatenate([a[:, :, 1:], a[:, :, -1:]], axis=2)
+        area = m.sum(-1) + 1e-6                  # (O, 1, F, 1)
+        sync = (((a - a_next) ** 2) * m).sum(-1) / area
+        sync = sync.sum(-1)                      # sum over heads -> (O, P, F)
+        # last frame has no successor
+        frame_w = jnp.ones((n_f,), jnp.float32).at[-1].set(0.0)
+        obj_loss = obj_loss + cfg.attn_sync_weight * sync * frame_w
+
+    if cfg.boxdiff_loss_scale > 0.0 or cfg.com_loss_scale > 0.0:
+        a2d = a.reshape(n_obj, n_p, n_f, n_heads, hk, wk)
+        m2d = masks[:, None, :, None]            # (O, 1, F, 1, Hk, Wk)
+
+    if cfg.boxdiff_loss_scale > 0.0:
+        # Corner constraint (BoxDiff, utils/guidance.py:433-465) with corner
+        # bands of width 1 around box x/y extents.
+        corner_x, corner_y = _corner_bands(masks)  # (O, F, Wk), (O, F, Hk)
+        ca_max_x = a2d.max(-2)                    # (O, P, F, h, Wk)
+        ca_max_y = a2d.max(-1)                    # (O, P, F, h, Hk)
+        m_max_x = m2d.max(-2)                     # (O, 1, F, 1, Wk)
+        m_max_y = m2d.max(-1)
+        dx = jnp.abs(ca_max_x - m_max_x) * corner_x[:, None, :, None]
+        dy = jnp.abs(ca_max_y - m_max_y) * corner_y[:, None, :, None]
+        if cfg.boxdiff_normed:
+            cc = dx.mean((-1, -2)) + dy.mean((-1, -2))
+        else:
+            cc = dx.sum((-1, -2)) + dy.sum((-1, -2))
+        obj_loss = obj_loss + cfg.boxdiff_loss_scale * cc
+
+    if cfg.com_loss_scale > 0.0:
+        # Center-of-mass position and velocity control
+        # (utils/guidance.py:467-522).
+        present = (masks.sum((-1, -2)) > 0).astype(jnp.float32)  # (O, F)
+        com_a_h, com_a_w = _center_of_mass(a2d)       # (O, P, F, h)
+        com_m_h, com_m_w = _center_of_mass(masks)     # (O, F)
+        pos = (com_a_h - com_m_h[:, None, :, None]) ** 2 + (
+            com_a_w - com_m_w[:, None, :, None]
+        ) ** 2
+        pos = pos.mean(-1) * present[:, None, :]
+        obj_loss = obj_loss + cfg.com_loss_scale * pos
+
+        # velocity: difference of CoMs between consecutive frames
+        nxt = lambda x: jnp.concatenate([x[..., 1:, :], x[..., -1:, :]], axis=-2)
+        nxt_m = lambda x: jnp.concatenate([x[:, 1:], x[:, -1:]], axis=1)
+        v_a_h = nxt(com_a_h) - com_a_h
+        v_a_w = nxt(com_a_w) - com_a_w
+        v_m_h = nxt_m(com_m_h) - com_m_h
+        v_m_w = nxt_m(com_m_w) - com_m_w
+        both = present * nxt_m(present)
+        vel = (v_a_h - v_m_h[:, None, :, None]) ** 2 + (
+            v_a_w - v_m_w[:, None, :, None]
+        ) ** 2
+        vel = vel.mean(-1) * both[:, None, :]
+        obj_loss = obj_loss + cfg.com_loss_scale * vel
+
+    # Sum over frames; masked-sum over tokens; normalize per object by its
+    # valid token count; sum over objects.
+    per_obj = (obj_loss.sum(-1) * token_mask).sum(-1)   # (O,)
+    counts = jnp.maximum(token_mask.sum(-1), 1.0)
+    return (per_obj / counts).sum()
+
+
+def _topk_mean_via_log(values, k, eps):
+    """-log of top-k values, meaned: used by the CE variant."""
+    n = values.shape[-1]
+    sorted_desc = -jnp.sort(-values, axis=-1)
+    ranks = jnp.arange(n, dtype=jnp.int32)
+    w = (ranks[None] < k[..., None]).astype(jnp.float32) / jnp.maximum(
+        k.astype(jnp.float32)[..., None], 1.0
+    )
+    return (-jnp.log(jnp.clip(sorted_desc, eps, None)) * w).sum(-1)
+
+
+def _corner_bands(masks, band: int = 1):
+    """Per-(object, frame) indicator bands around box x/y extents, derived
+    from the rasterized masks (differentiable inputs not needed)."""
+    proj_x = masks.max(-2)  # (O, F, W)
+    proj_y = masks.max(-1)  # (O, F, H)
+
+    def band_of(proj):
+        # edge = positions where the projected indicator changes
+        padded = jnp.pad(proj, ((0, 0), (0, 0), (1, 1)))
+        edges = jnp.abs(padded[..., 1:] - padded[..., :-1])  # (O,F,N+1)
+        edge_pos = jnp.maximum(edges[..., :-1], edges[..., 1:])  # (O,F,N)
+        # dilate by `band`
+        out = edge_pos
+        for _ in range(band):
+            out = jnp.maximum(
+                out,
+                jnp.maximum(
+                    jnp.pad(out[..., 1:], ((0, 0), (0, 0), (0, 1))),
+                    jnp.pad(out[..., :-1], ((0, 0), (0, 0), (1, 0))),
+                ),
+            )
+        return out
+
+    return band_of(proj_x), band_of(proj_y)
+
+
+def compute_ca_energy(
+    aux: Dict[Tuple, jnp.ndarray],
+    pack,  # layout/rasterize.GuidancePack (mask arrays already on device ok)
+    guidance_attn_keys: Sequence[Tuple],
+    cfg: GuidanceConfig,
+):
+    """Total CA energy over instrumented keys (reference compute_ca_lossv3):
+    sum of per-key losses normalized by (num_objects * num_keys)."""
+    keys = [tuple(k) for k in guidance_attn_keys]
+    num_objects = pack.token_indices.shape[0]  # static under jit
+    if num_objects == 0 or not keys:
+        return jnp.float32(0.0)
+    loss = jnp.float32(0.0)
+    for key in keys:
+        loss = loss + ca_energy_for_key(
+            aux[key],
+            jnp.asarray(pack.masks[key]),
+            jnp.asarray(pack.token_indices),
+            jnp.asarray(pack.token_mask),
+            jnp.asarray(pack.k_fg[key]),
+            jnp.asarray(pack.k_bg[key]),
+            cfg,
+        )
+    return loss / (num_objects * len(keys))

@@ -1,0 +1,534 @@
+"""Functional 3D UNet (ModelScope/Zeroscope architecture), TPU-first.
+
+Parity targets: /root/reference/models/unet_3d_condition.py (UNet3DConditionModel),
+unet_3d_blocks.py, transformer_2d.py, transformer_temporal.py, attention.py.
+
+Design departures from the torch reference (deliberate, see SURVEY.md §7):
+
+* **Pure function of a param pytree** — no modules, no registered processors.
+  `apply_unet3d(params, cfg, ...) -> (noise_pred, aux)`.
+* **Attention capture is a functional output.** The reference mutates
+  `save_attn_to_dict[attn_key]` inside an attention processor
+  (attention_processor.py:580-586). Here, callers pass `capture_keys`
+  (tuples like ("down", 1, 0, 0) — the same hierarchical addresses) and the
+  softmax probabilities of those spatial cross-attention sites come back in
+  `aux`. This makes `jax.grad` through the cross-attention energy natural.
+* **Channels-last (NHWC)** throughout — the conv layout TPUs like.
+* **Frames fold into batch** for all 2D ops ((B, F, H, W, C) -> (B*F, H, W, C)),
+  and pixels fold into batch for temporal attention ((B*H*W, F, C)): the same
+  folding the reference uses (unet_3d_condition.py:726, transformer_temporal.py:143),
+  kept because those mega-batch dims shard trivially across a device mesh.
+* Optional `remat` wraps each (resnet, temp-conv, spatial-attn, temporal-attn)
+  layer in `jax.checkpoint`, trading FLOPs for HBM during the guidance
+  backward pass.
+
+Topology (block_out_channels = (c0, c1, c2, c3), layers_per_block = 2):
+  conv_in -> temporal transformer stem ->
+  down: 3x CrossAttnDownBlock3D + DownBlock3D (downsample after first three) ->
+  mid: resnet/temp-conv + (spatial attn, temporal attn, resnet, temp-conv) ->
+  up:  UpBlock3D + 3x CrossAttnUpBlock3D (upsample after first three, skip concat) ->
+  groupnorm -> silu -> conv_out
+Every cross-attn layer = ResnetBlock2D -> TemporalConv -> spatial transformer
+-> temporal transformer.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..config import UNet3DConfig
+from ..ops.attention import attention
+from ..ops.basic import (
+    conv2d,
+    conv3d,
+    feed_forward,
+    group_norm,
+    layer_norm,
+    linear,
+    silu,
+    time_embedding_mlp,
+    timestep_embedding,
+    upsample_nearest_2x,
+)
+from .gligen import apply_gated_self_attention, apply_position_net, init_position_net
+
+# ---------------------------------------------------------------------------
+# Initialization
+# ---------------------------------------------------------------------------
+
+
+def _init_linear(rng, din, dout, bias=True, scale=None):
+    w = jax.random.normal(rng, (din, dout), jnp.float32) * (
+        scale if scale is not None else din ** -0.5
+    )
+    p = {"w": w}
+    if bias:
+        p["b"] = jnp.zeros((dout,), jnp.float32)
+    return p
+
+
+def _init_conv(rng, kh, kw, din, dout, zero=False):
+    fan_in = kh * kw * din
+    w = (
+        jnp.zeros((kh, kw, din, dout), jnp.float32)
+        if zero
+        else jax.random.normal(rng, (kh, kw, din, dout), jnp.float32) * fan_in ** -0.5
+    )
+    return {"w": w, "b": jnp.zeros((dout,), jnp.float32)}
+
+
+def _init_conv3d(rng, kt, din, dout, zero=False):
+    fan_in = kt * din
+    w = (
+        jnp.zeros((kt, 1, 1, din, dout), jnp.float32)
+        if zero
+        else jax.random.normal(rng, (kt, 1, 1, din, dout), jnp.float32)
+        * fan_in ** -0.5
+    )
+    return {"w": w, "b": jnp.zeros((dout,), jnp.float32)}
+
+
+def _init_norm(c):
+    return {"scale": jnp.ones((c,), jnp.float32), "bias": jnp.zeros((c,), jnp.float32)}
+
+
+def _init_attention(rng, query_dim, context_dim, inner_dim):
+    k = jax.random.split(rng, 4)
+    return {
+        "to_q": _init_linear(k[0], query_dim, inner_dim, bias=False),
+        "to_k": _init_linear(k[1], context_dim, inner_dim, bias=False),
+        "to_v": _init_linear(k[2], context_dim, inner_dim, bias=False),
+        "to_out": _init_linear(k[3], inner_dim, query_dim),
+    }
+
+
+def _init_ff(rng, dim, mult=4):
+    k = jax.random.split(rng, 2)
+    inner = dim * mult
+    return {
+        "proj": _init_linear(k[0], dim, inner * 2),
+        "out": _init_linear(k[1], inner, dim),
+    }
+
+
+def _init_btb(rng, dim, context_dim, *, double_self_attention=False, fuser_context=None):
+    """BasicTransformerBlock params (attn1 self, attn2 cross-or-self, FF)."""
+    k = jax.random.split(rng, 4)
+    p = {
+        "norm1": _init_norm(dim),
+        "attn1": _init_attention(k[0], dim, dim, dim),
+        "norm2": _init_norm(dim),
+        "attn2": _init_attention(
+            k[1], dim, dim if double_self_attention else context_dim, dim
+        ),
+        "norm3": _init_norm(dim),
+        "ff": _init_ff(k[2], dim),
+    }
+    if fuser_context is not None:
+        fk = jax.random.split(k[3], 3)
+        p["fuser"] = {
+            "linear": _init_linear(fk[0], fuser_context, dim),
+            "attn": _init_attention(fk[1], dim, dim, dim),
+            "ff": _init_ff(fk[2], dim),
+            "norm1": _init_norm(dim),
+            "norm2": _init_norm(dim),
+            "alpha_attn": jnp.zeros((), jnp.float32),
+            "alpha_dense": jnp.zeros((), jnp.float32),
+        }
+    return p
+
+
+def _init_spatial_transformer(rng, channels, context_dim, *, gated):
+    k = jax.random.split(rng, 3)
+    return {
+        "norm": _init_norm(channels),
+        "proj_in": _init_linear(k[0], channels, channels),
+        "blocks": [
+            _init_btb(
+                k[1],
+                channels,
+                context_dim,
+                fuser_context=context_dim if gated else None,
+            )
+        ],
+        "proj_out": _init_linear(k[2], channels, channels, scale=1e-5),
+    }
+
+
+def _init_temporal_transformer(rng, channels, inner_dim):
+    k = jax.random.split(rng, 3)
+    return {
+        "norm": _init_norm(channels),
+        "proj_in": _init_linear(k[0], channels, inner_dim),
+        "blocks": [_init_btb(k[1], inner_dim, None, double_self_attention=True)],
+        "proj_out": _init_linear(k[2], inner_dim, channels, scale=1e-5),
+    }
+
+
+def _init_resnet(rng, cin, cout, temb_dim):
+    k = jax.random.split(rng, 4)
+    p = {
+        "norm1": _init_norm(cin),
+        "conv1": _init_conv(k[0], 3, 3, cin, cout),
+        "time_emb_proj": _init_linear(k[1], temb_dim, cout),
+        "norm2": _init_norm(cout),
+        "conv2": _init_conv(k[2], 3, 3, cout, cout, zero=False),
+    }
+    if cin != cout:
+        p["conv_shortcut"] = _init_conv(k[3], 1, 1, cin, cout)
+    return p
+
+
+def _init_temp_conv(rng, channels):
+    k = jax.random.split(rng, 4)
+    return {
+        f"conv{i + 1}": {
+            "norm": _init_norm(channels),
+            "conv": _init_conv3d(k[i], 3, channels, channels, zero=(i == 3)),
+        }
+        for i in range(4)
+    }
+
+
+def init_unet3d(rng, cfg: UNet3DConfig):
+    """Random-init UNet params (jitted: eager init of ~700 tensors is slow)."""
+    return _init_unet3d_jit(rng, cfg)
+
+
+@functools.partial(jax.jit, static_argnums=1)
+def _init_unet3d_jit(rng, cfg: UNet3DConfig):
+    boc = cfg.block_out_channels
+    gated = cfg.attention_type == "gated"
+    keys = iter(jax.random.split(rng, 256))
+
+    params: dict = {
+        "conv_in": _init_conv(next(keys), 3, 3, cfg.in_channels, boc[0]),
+        "time_embedding": {
+            "linear_1": _init_linear(next(keys), boc[0], cfg.time_embed_dim),
+            "linear_2": _init_linear(next(keys), cfg.time_embed_dim, cfg.time_embed_dim),
+        },
+        "transformer_in": _init_temporal_transformer(
+            next(keys), boc[0], cfg.transformer_in_num_heads * cfg.attention_head_dim
+        ),
+    }
+
+    def layer(cin, cout, with_attn):
+        p = {
+            "resnet": _init_resnet(next(keys), cin, cout, cfg.time_embed_dim),
+            "temp_conv": _init_temp_conv(next(keys), cout),
+        }
+        if with_attn:
+            p["attn"] = _init_spatial_transformer(
+                next(keys), cout, cfg.cross_attention_dim, gated=gated
+            )
+            p["temp_attn"] = _init_temporal_transformer(next(keys), cout, cout)
+        return p
+
+    # Down blocks.
+    down = []
+    ch = boc[0]
+    for i, cout in enumerate(boc):
+        is_final = i == len(boc) - 1
+        block = {
+            "layers": [
+                layer(ch if j == 0 else cout, cout, with_attn=not is_final)
+                for j in range(cfg.layers_per_block)
+            ]
+        }
+        if not is_final:
+            block["downsample"] = _init_conv(next(keys), 3, 3, cout, cout)
+        down.append(block)
+        ch = cout
+    params["down_blocks"] = down
+
+    # Mid block.
+    params["mid_block"] = {
+        "resnet_in": _init_resnet(next(keys), boc[-1], boc[-1], cfg.time_embed_dim),
+        "temp_conv_in": _init_temp_conv(next(keys), boc[-1]),
+        "layers": [layer(boc[-1], boc[-1], with_attn=True)],
+    }
+
+    # Up blocks.
+    up = []
+    rev = list(reversed(boc))
+    prev = rev[0]
+    for i, cout in enumerate(rev):
+        is_final = i == len(boc) - 1
+        skip_source = rev[min(i + 1, len(boc) - 1)]
+        layers = []
+        for j in range(cfg.layers_per_block + 1):
+            skip_ch = skip_source if j == cfg.layers_per_block else cout
+            cin = (prev if j == 0 else cout) + skip_ch
+            layers.append(layer(cin, cout, with_attn=i > 0))
+        block = {"layers": layers}
+        if not is_final:
+            block["upsample"] = _init_conv(next(keys), 3, 3, cout, cout)
+        up.append(block)
+        prev = cout
+    params["up_blocks"] = up
+
+    params["conv_norm_out"] = _init_norm(boc[0])
+    params["conv_out"] = _init_conv(next(keys), 3, 3, boc[0], cfg.out_channels, zero=False)
+
+    if gated:
+        params["position_net"] = init_position_net(
+            next(keys),
+            cfg.gligen_positive_len,
+            cfg.cross_attention_dim,
+            cfg.gligen_fourier_freqs,
+        )
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Apply
+# ---------------------------------------------------------------------------
+
+
+def _btb_apply(
+    p,
+    x,
+    context,
+    num_heads,
+    *,
+    key=None,
+    capture: bool = False,
+    double_self_attention: bool = False,
+    gligen_objs=None,
+    ln_eps: float = 1e-5,
+):
+    h, _ = attention(p["attn1"], layer_norm(p["norm1"], x, ln_eps), None, num_heads)
+    x = x + h
+    if gligen_objs is not None and "fuser" in p:
+        x = apply_gated_self_attention(p["fuser"], x, gligen_objs, num_heads)
+    ctx = None if double_self_attention else context
+    h, probs = attention(
+        p["attn2"], layer_norm(p["norm2"], x, ln_eps), ctx, num_heads,
+        return_probs=capture,
+    )
+    x = x + h
+    x = x + feed_forward(p["ff"], layer_norm(p["norm3"], x, ln_eps))
+    return x, probs
+
+
+def _spatial_transformer(p, x, context, num_heads, cfg, *, key, capture_keys, aux,
+                         gligen_objs=None):
+    n, h, w, c = x.shape
+    residual = x
+    y = group_norm(p["norm"], x, cfg.norm_num_groups, cfg.transformer_norm_eps)
+    y = y.reshape(n, h * w, c)
+    y = linear(p["proj_in"], y)
+    for bi, block in enumerate(p["blocks"]):
+        full_key = key + (bi,)
+        capture = full_key in capture_keys
+        y, probs = _btb_apply(
+            block, y, context, num_heads,
+            capture=capture, gligen_objs=gligen_objs,
+        )
+        if capture:
+            aux[full_key] = probs
+    y = linear(p["proj_out"], y)
+    return y.reshape(n, h, w, c) + residual
+
+
+def _temporal_transformer(p, x, num_frames, num_heads, cfg):
+    n, h, w, c = x.shape
+    b = n // num_frames
+    residual = x
+    y = x.reshape(b, num_frames, h, w, c)
+    y = group_norm(p["norm"], y, cfg.norm_num_groups, cfg.transformer_norm_eps)
+    # pixels -> batch, frames -> sequence
+    y = y.transpose(0, 2, 3, 1, 4).reshape(b * h * w, num_frames, c)
+    y = linear(p["proj_in"], y)
+    for block in p["blocks"]:
+        y, _ = _btb_apply(block, y, None, num_heads, double_self_attention=True)
+    y = linear(p["proj_out"], y)
+    y = y.reshape(b, h, w, num_frames, c).transpose(0, 3, 1, 2, 4)
+    return y.reshape(n, h, w, c) + residual
+
+
+def _resnet(p, x, temb, cfg):
+    h = group_norm(p["norm1"], x, cfg.norm_num_groups, cfg.norm_eps)
+    h = conv2d(p["conv1"], silu(h))
+    t = linear(p["time_emb_proj"], silu(temb))
+    h = h + t[:, None, None, :]
+    h = group_norm(p["norm2"], h, cfg.norm_num_groups, cfg.norm_eps)
+    h = conv2d(p["conv2"], silu(h))
+    if "conv_shortcut" in p:
+        x = conv2d(p["conv_shortcut"], x, padding=0)
+    return x + h
+
+
+def _temp_conv(p, x, num_frames, cfg):
+    n, h, w, c = x.shape
+    b = n // num_frames
+    y = x.reshape(b, num_frames, h, w, c)
+    identity = y
+    for name in ("conv1", "conv2", "conv3", "conv4"):
+        blk = p[name]
+        y = group_norm(blk["norm"], y, cfg.norm_num_groups, 1e-5)
+        y = conv3d(blk["conv"], silu(y))
+    return (identity + y).reshape(n, h, w, c)
+
+
+def _cross_attn_layer(p, x, temb, context, num_frames, num_heads, cfg, *,
+                      key, capture_keys, aux, gligen_objs):
+    x = _resnet(p["resnet"], x, temb, cfg)
+    x = _temp_conv(p["temp_conv"], x, num_frames, cfg)
+    x = _spatial_transformer(
+        p["attn"], x, context, num_heads, cfg,
+        key=key, capture_keys=capture_keys, aux=aux, gligen_objs=gligen_objs,
+    )
+    x = _temporal_transformer(p["temp_attn"], x, num_frames, num_heads, cfg)
+    return x
+
+
+def apply_unet3d(
+    params,
+    cfg: UNet3DConfig,
+    sample,
+    timesteps,
+    encoder_hidden_states,
+    *,
+    gligen=None,
+    capture_keys: Sequence[tuple] = (),
+    remat: bool = False,
+):
+    """Run the UNet.
+
+    Args:
+      sample: (B, F, H, W, C_in) noisy latents, channels-last.
+      timesteps: scalar or (B,) diffusion timestep(s).
+      encoder_hidden_states: (B, L, D_text) or (2B, L, D) CLIP hidden states
+        (if leading dim equals 2B the CFG pair convention is the caller's).
+      gligen: optional dict with keys ``boxes`` (B*F, M, 4), ``masks``
+        (B*F, M), ``positive_embeddings`` (B*F, M, positive_len) — the
+        per-frame grounding inputs, already flattened into the B*F batch
+        (reference controllable_pipeline:806-814).
+      capture_keys: static tuple of hierarchical attention addresses, e.g.
+        ("down", 1, 0, 0), whose cross-attention probabilities are returned.
+      remat: checkpoint each UNet layer (for differentiating the guidance
+        energy under HBM limits).
+
+    Returns:
+      (noise_pred (B, F, H, W, C_out), aux dict {key: (B*F, heads, HW, L)}).
+    """
+    capture_keys = tuple(tuple(k) for k in capture_keys)
+    b, f, h, w, _ = sample.shape
+    boc = cfg.block_out_channels
+
+    timesteps = jnp.asarray(timesteps)
+    if timesteps.ndim == 0:
+        timesteps = jnp.broadcast_to(timesteps, (b,))
+    t_emb = timestep_embedding(timesteps, boc[0]).astype(sample.dtype)
+    temb = time_embedding_mlp(params["time_embedding"], t_emb)
+    temb = jnp.repeat(temb, f, axis=0)  # (B*F, time_embed_dim)
+
+    context = jnp.repeat(encoder_hidden_states.astype(sample.dtype), f, axis=0)
+
+    x = sample.reshape(b * f, h, w, sample.shape[-1])
+    x = conv2d(params["conv_in"], x)
+
+    x = _temporal_transformer(
+        params["transformer_in"], x, f, cfg.transformer_in_num_heads, cfg
+    )
+
+    gligen_objs = None
+    if gligen is not None:
+        gligen_objs = apply_position_net(
+            params["position_net"],
+            gligen["boxes"].astype(x.dtype),
+            gligen["masks"].astype(x.dtype),
+            gligen["positive_embeddings"].astype(x.dtype),
+            cfg.gligen_fourier_freqs,
+        )
+
+    aux: dict = {}
+
+    def run_layer(layer_params, x, *, key, with_attn, num_heads):
+        def fn(lp, x, temb, context):
+            local_aux: dict = {}
+            if with_attn:
+                y = _cross_attn_layer(
+                    lp, x, temb, context, f, num_heads, cfg,
+                    key=key, capture_keys=capture_keys, aux=local_aux,
+                    gligen_objs=gligen_objs,
+                )
+            else:
+                y = _resnet(lp["resnet"], x, temb, cfg)
+                y = _temp_conv(lp["temp_conv"], y, f, cfg)
+            # Return captured probs as explicit outputs so jax.checkpoint can
+            # rematerialize through them.
+            return y, tuple(local_aux[k] for k in capture_keys if k in local_aux)
+
+        if remat:
+            fn = jax.checkpoint(fn)
+        y, captured = fn(layer_params, x, temb, context)
+        # Keys captured inside this layer, in capture_keys order (a layer's
+        # spatial transformer owns keys whose first 3 address elements match).
+        layer_keys = [k for k in capture_keys if tuple(k[:3]) == key]
+        for k, v in zip(layer_keys, captured):
+            aux[k] = v
+        return y
+
+    # -- down ----------------------------------------------------------------
+    res_stack = [x]
+    for i, block in enumerate(params["down_blocks"]):
+        is_final = i == len(boc) - 1
+        num_heads = cfg.num_heads(boc[i])
+        for j, lp in enumerate(block["layers"]):
+            x = run_layer(
+                lp, x, key=("down", i, j), with_attn=not is_final, num_heads=num_heads
+            )
+            res_stack.append(x)
+        if "downsample" in block:
+            x = conv2d(block["downsample"], x, stride=2)
+            res_stack.append(x)
+
+    # -- mid -----------------------------------------------------------------
+    mid = params["mid_block"]
+    num_heads = cfg.num_heads(boc[-1])
+    x = _resnet(mid["resnet_in"], x, temb, cfg)
+    x = _temp_conv(mid["temp_conv_in"], x, f, cfg)
+    for j, lp in enumerate(mid["layers"]):
+        x = _spatial_transformer(
+            lp["attn"], x, context, num_heads, cfg,
+            key=("mid", 0, j), capture_keys=capture_keys, aux=aux,
+            gligen_objs=gligen_objs,
+        )
+        x = _temporal_transformer(lp["temp_attn"], x, f, num_heads, cfg)
+        x = _resnet(lp["resnet"], x, temb, cfg)
+        x = _temp_conv(lp["temp_conv"], x, f, cfg)
+
+    # -- up ------------------------------------------------------------------
+    rev = list(reversed(boc))
+    for i, block in enumerate(params["up_blocks"]):
+        num_heads = cfg.num_heads(rev[i])
+        for j, lp in enumerate(block["layers"]):
+            skip = res_stack.pop()
+            x = jnp.concatenate([x, skip], axis=-1)
+            x = run_layer(
+                lp, x, key=("up", i, j), with_attn=i > 0, num_heads=num_heads
+            )
+        if "upsample" in block:
+            y = upsample_nearest_2x(x)
+            if res_stack:
+                # Odd spatial dims don't round-trip through stride-2 conv +
+                # 2x upsample; resize to the next skip's exact size
+                # (reference unet_3d_condition.py:814-817 forward_upsample_size).
+                th, tw = res_stack[-1].shape[1], res_stack[-1].shape[2]
+                if (th, tw) != (y.shape[1], y.shape[2]):
+                    y = jax.image.resize(
+                        x, (x.shape[0], th, tw, x.shape[3]), method="nearest"
+                    )
+            x = conv2d(block["upsample"], y)
+
+    # -- out -----------------------------------------------------------------
+    x = group_norm(params["conv_norm_out"], x, cfg.norm_num_groups, cfg.norm_eps)
+    x = conv2d(params["conv_out"], silu(x))
+    out = x.reshape(b, f, h, w, cfg.out_channels)
+    return out, aux

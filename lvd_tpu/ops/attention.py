@@ -1,0 +1,91 @@
+"""Multi-head attention with an optional attention-probability output.
+
+This is the TPU-native replacement for the reference's instrumented
+`Attention`/`AttnProcessor` (models/attention_processor.py:333-593): instead
+of mutating a `save_attn_to_dict` inside a processor object, attention maps
+are *functional outputs* — callers request them and get them returned, which
+is what makes `jax.grad` through the cross-attention energy trivial.
+
+Two paths:
+  * `attention(...)`: XLA einsum attention (flash-fused by Mosaic/XLA when
+    profitable) or the Pallas flash kernel (ops/pallas_attention.py) when
+    enabled and applicable.
+  * `attention(..., return_probs=True)`: materializes softmax probabilities
+    (needed only at the 6 instrumented guidance layers whose key-length is
+    77 text tokens, so the materialized map is small: HW x 77 per head).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .basic import linear
+
+# Toggled by lvd_tpu.ops.pallas_attention.enable() once the kernel is
+# validated on the current backend; falls back to XLA attention otherwise.
+_PALLAS_ATTENTION_FN = None
+
+
+def set_pallas_attention(fn) -> None:
+    global _PALLAS_ATTENTION_FN
+    _PALLAS_ATTENTION_FN = fn
+
+
+def _split_heads(x, num_heads: int):
+    b, s, d = x.shape
+    return x.reshape(b, s, num_heads, d // num_heads).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x):
+    x = x.transpose(0, 2, 1, 3)  # (B, S, H, D)
+    return x.reshape(x.shape[0], x.shape[1], -1)
+
+
+def sdpa(q, k, v, scale: Optional[float] = None, return_probs: bool = False):
+    """Scaled dot-product attention over (B, H, S, D) tensors.
+
+    Softmax statistics accumulate in float32 regardless of input dtype.
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    if not return_probs and _PALLAS_ATTENTION_FN is not None:
+        out = _PALLAS_ATTENTION_FN(q, k, v, scale)
+        if out is not None:
+            return out, None
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    )
+    logits = logits * jnp.float32(scale)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum(
+        "bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    ).astype(v.dtype)
+    return out, (probs if return_probs else None)
+
+
+def attention(
+    p,
+    hidden_states,
+    encoder_hidden_states=None,
+    num_heads: int = 8,
+    return_probs: bool = False,
+):
+    """Projected multi-head attention (diffusers `Attention` semantics:
+    bias-free q/k/v, output projection with bias).
+
+    hidden_states: (B, S_q, C); encoder_hidden_states: (B, S_k, C_enc) or
+    None for self-attention. Returns (out, probs|None) with probs
+    (B, heads, S_q, S_k) in float32.
+    """
+    context = hidden_states if encoder_hidden_states is None else encoder_hidden_states
+    q = _split_heads(linear(p["to_q"], hidden_states), num_heads)
+    k = _split_heads(linear(p["to_k"], context), num_heads)
+    v = _split_heads(linear(p["to_v"], context), num_heads)
+    out, probs = sdpa(q, k, v, return_probs=return_probs)
+    out = _merge_heads(out)
+    return linear(p["to_out"], out), probs

@@ -1,0 +1,246 @@
+"""TextToVideoPipeline: text encoder + 3D UNet + DPM-Solver++ + VAE, with
+optional GLIGEN grounding and cross-attention guidance.
+
+Parity target: /root/reference/models/controllable_pipeline_text_to_video_synth.py
+(`TextToVideoSDPipeline`). Host-side work (tokenization, GLIGEN input
+packing, box rasterization) happens here; everything device-side is one
+jitted call per (shape, flags) signature, cached.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import ModelPreset
+from .diffusion import dpm_solver as dpm
+from .diffusion import sampler as sampler_mod
+from .diffusion.guidance import GuidanceConfig
+from .layout.rasterize import GuidancePack, make_guidance_pack
+from .models.clip import apply_clip_text
+from .models.unet3d import apply_unet3d
+from .models.vae import decode as vae_decode
+
+MAX_GLIGEN_OBJS = 30  # reference controllable_pipeline:738
+
+
+@dataclasses.dataclass
+class PipelineModels:
+    preset: ModelPreset
+    unet_params: dict
+    clip_params: dict
+    vae_params: dict
+    tokenizer: object
+
+
+class TextToVideoPipeline:
+    def __init__(self, models: PipelineModels, dtype=jnp.float32):
+        self.m = models
+        self.preset = models.preset
+        self.dtype = dtype
+        self._cast = lambda tree: jax.tree_util.tree_map(
+            lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+            tree,
+        )
+        self.unet_params = self._cast(models.unet_params)
+        self.clip_params = self._cast(models.clip_params)
+        self.vae_params = self._cast(models.vae_params)
+        self._encode_jit = jax.jit(
+            lambda p, ids: apply_clip_text(p, self.preset.clip, ids)
+        )
+        self._sample_jit_cache = {}
+
+    # -- text ------------------------------------------------------------
+    def encode_prompt(self, prompt: str, negative_prompt: str = ""):
+        """Returns the CFG pair (2, L, D): [uncond; cond] final hidden states."""
+        tok = self.m.tokenizer
+        ids = np.stack(
+            [
+                np.asarray(tok.encode_padded(negative_prompt), np.int32),
+                np.asarray(tok.encode_padded(prompt), np.int32),
+            ]
+        )
+        out = self._encode_jit(self.clip_params, jnp.asarray(ids))
+        return out["last_hidden_state"]
+
+    def encode_phrases_pooled(self, phrases: Sequence[str]):
+        """Pooled CLIP embeddings of grounding phrases (GLIGEN PositionNet
+        input; reference controllable_pipeline:756-763)."""
+        tok = self.m.tokenizer
+        ids = np.stack(
+            [np.asarray(tok.encode_padded(p), np.int32) for p in phrases]
+        )
+        out = self._encode_jit(self.clip_params, jnp.asarray(ids))
+        return out["pooler_output"]
+
+    # -- GLIGEN input packing ---------------------------------------------
+    def prepare_gligen_inputs(self, gligen_boxes, gligen_phrases, num_frames: int):
+        """Per-frame boxes/phrases -> flattened (2*F, M, ...) arrays with the
+        uncond half masked out (reference controllable_pipeline:736-814)."""
+        d = self.preset.unet.gligen_positive_len
+        boxes = np.zeros((num_frames, MAX_GLIGEN_OBJS, 4), np.float32)
+        masks = np.zeros((num_frames, MAX_GLIGEN_OBJS), np.float32)
+        embs = np.zeros((num_frames, MAX_GLIGEN_OBJS, d), np.float32)
+
+        phrase_cache: dict = {}
+        for f, (phrases_f, boxes_f) in enumerate(zip(gligen_phrases, gligen_boxes)):
+            phrases_f = list(phrases_f)[:MAX_GLIGEN_OBJS]
+            boxes_f = list(boxes_f)[:MAX_GLIGEN_OBJS]
+            new = [p for p in phrases_f if p not in phrase_cache]
+            if new:
+                pooled = np.asarray(self.encode_phrases_pooled(new), np.float32)
+                for p, e in zip(new, pooled):
+                    phrase_cache[p] = e
+            n = len(boxes_f)
+            if n:
+                boxes[f, :n] = np.asarray(boxes_f, np.float32)
+                masks[f, :n] = 1.0
+                embs[f, :n] = np.stack([phrase_cache[p] for p in phrases_f])
+
+        # CFG pair: [uncond(F); cond(F)], uncond masks zeroed.
+        pair = {
+            "boxes": jnp.asarray(np.concatenate([boxes, boxes], 0), self.dtype),
+            "masks": jnp.asarray(
+                np.concatenate([np.zeros_like(masks), masks], 0), self.dtype
+            ),
+            "positive_embeddings": jnp.asarray(
+                np.concatenate([embs, embs], 0), self.dtype
+            ),
+        }
+        return pair
+
+    # -- core sampling ------------------------------------------------------
+    def _sample_fn(self, flags):
+        if flags not in self._sample_jit_cache:
+            (guided, keys, g_cfg, gligen_on, n_ground, scale, n_steps) = flags
+
+            def fn(unet_params, latents, text_pair, coeffs, guidance, gligen_pair):
+                return sampler_mod.sample_video(
+                    unet_params,
+                    self.preset.unet,
+                    latents,
+                    text_pair,
+                    coeffs,
+                    guidance_scale=scale,
+                    guidance=guidance if guided else None,
+                    guidance_cfg=g_cfg,
+                    guidance_attn_keys=keys,
+                    gligen_pair=gligen_pair if gligen_on else None,
+                    num_grounding_steps=n_ground,
+                )
+
+            self._sample_jit_cache[flags] = jax.jit(fn)
+        return self._sample_jit_cache[flags]
+
+    @functools.cached_property
+    def _decode_jit(self):
+        def fn(vae_params, latents):
+            imgs = vae_decode(
+                vae_params,
+                self.preset.vae,
+                latents / self.preset.vae.scaling_factor,
+            )
+            return jnp.clip(imgs.astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0)
+
+        return jax.jit(fn)
+
+    def decode_latents(self, latents, chunk: int = 8):
+        """(B, F, h, w, C) latents -> (B, F, H, W, 3) float [0, 1]; frames
+        decoded in chunks (the VAE-slicing equivalent,
+        reference controllable_pipeline:374-400)."""
+        b, f, h, w, c = latents.shape
+        flat = latents.reshape(b * f, h, w, c)
+        outs = []
+        for i in range(0, b * f, chunk):
+            outs.append(np.asarray(self._decode_jit(self.vae_params, flat[i : i + chunk])))
+        imgs = np.concatenate(outs, axis=0)
+        return imgs.reshape(b, f, *imgs.shape[1:])
+
+    def __call__(
+        self,
+        prompt: str,
+        negative_prompt: str = "",
+        height: Optional[int] = None,
+        width: Optional[int] = None,
+        num_frames: int = 16,
+        num_inference_steps: int = 50,
+        guidance_scale: float = 9.0,
+        seed: int = 0,
+        latents=None,
+        # cross-attention guidance
+        backward_guidance: Optional[dict] = None,  # {boxes, object_positions, config, attn_keys}
+        # GLIGEN
+        gligen_boxes=None,
+        gligen_phrases=None,
+        gligen_scheduled_sampling_beta: float = 0.3,
+        output_type: str = "np",
+    ):
+        preset = self.preset
+        height = height or preset.height
+        width = width or preset.width
+        if height % 8 or width % 8:
+            raise ValueError(f"height/width must be multiples of 8: {height}x{width}")
+        h_lat, w_lat = height // preset.vae.scale_factor, width // preset.vae.scale_factor
+
+        text_pair = self.encode_prompt(prompt, negative_prompt).astype(self.dtype)
+
+        key = jax.random.PRNGKey(seed)
+        if latents is None:
+            latents = (
+                jax.random.normal(key, (1, num_frames, h_lat, w_lat, 4), jnp.float32)
+                * dpm.INIT_NOISE_SIGMA
+            ).astype(self.dtype)
+
+        coeffs = dpm.make_coeffs(preset.scheduler, num_inference_steps)
+
+        guided = backward_guidance is not None
+        guidance_arrays = None
+        g_cfg = None
+        keys = ()
+        if guided:
+            g_cfg = backward_guidance.get("config") or GuidanceConfig()
+            keys = tuple(tuple(k) for k in backward_guidance["attn_keys"])
+            pack = backward_guidance.get("pack")
+            if pack is None:
+                pack = make_guidance_pack(
+                    backward_guidance["boxes"],
+                    backward_guidance["object_positions"],
+                    keys,
+                    (h_lat, w_lat),
+                    fg_top_p=g_cfg.fg_top_p,
+                    bg_top_p=g_cfg.bg_top_p,
+                )
+            guidance_arrays = sampler_mod.pack_to_arrays(pack)
+
+        gligen_on = bool(gligen_boxes)
+        gligen_pair = None
+        n_ground = 0
+        if gligen_on:
+            gligen_pair = self.prepare_gligen_inputs(
+                gligen_boxes, gligen_phrases, num_frames
+            )
+            n_ground = int(gligen_scheduled_sampling_beta * num_inference_steps)
+
+        flags = (
+            guided,
+            keys,
+            g_cfg,
+            gligen_on,
+            n_ground,
+            float(guidance_scale),
+            num_inference_steps,
+        )
+        sample = self._sample_fn(flags)
+        final = sample(
+            self.unet_params, latents, text_pair, coeffs, guidance_arrays, gligen_pair
+        )
+
+        if output_type == "latent":
+            return final
+        video = self.decode_latents(final)
+        return video  # (B, F, H, W, 3) float32 in [0, 1]

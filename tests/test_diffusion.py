@@ -1,0 +1,170 @@
+"""DPM-Solver++ and guidance-energy tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lvd_tpu.config import SchedulerConfig
+from lvd_tpu.diffusion import dpm_solver as dpm
+from lvd_tpu.diffusion import schedule
+from lvd_tpu.diffusion.guidance import GuidanceConfig, ca_energy_for_key
+from lvd_tpu.layout.rasterize import make_guidance_pack, resolution_of_key
+
+
+def test_inference_timesteps_linspace():
+    cfg = SchedulerConfig()
+    ts = schedule.inference_timesteps(cfg, 40)
+    assert len(ts) == 40
+    assert ts[0] == 999 and ts[-1] < 30
+    assert all(np.diff(ts) < 0)
+
+
+def test_fast_schedule():
+    ts = np.array([999, 900, 800, 700, 600, 500, 400, 300, 200, 100])
+    out = schedule.get_fast_schedule(ts, 4, 2)
+    np.testing.assert_array_equal(out, [999, 900, 800, 700, 500, 300, 100])
+
+
+def test_solver_recovers_data_for_linear_model():
+    """With a perfect epsilon-oracle for a single known data point, the
+    solver must converge to that point (classic sanity check)."""
+    cfg = SchedulerConfig()
+    abar = schedule.make_alphas_cumprod(cfg)
+    x0_true = jnp.array([[1.5, -2.0, 0.5, 3.0]], jnp.float32)
+
+    n = 30
+    coeffs = dpm.make_coeffs(cfg, n)
+    key = jax.random.PRNGKey(0)
+    noise = jax.random.normal(key, x0_true.shape)
+    t0 = int(coeffs.timestep[0])
+    x = jnp.sqrt(abar[t0]).astype(jnp.float32) * x0_true + jnp.sqrt(
+        1 - abar[t0]
+    ).astype(jnp.float32) * noise
+
+    state = dpm.init_state(x.shape)
+    for i in range(n):
+        c = jax.tree_util.tree_map(lambda a: a[i], coeffs)
+        t = int(c.timestep)
+        # oracle epsilon at the *current* sample
+        eps = (x - jnp.sqrt(abar[t]).astype(jnp.float32) * x0_true) / jnp.sqrt(
+            1 - abar[t]
+        ).astype(jnp.float32)
+        state, x = dpm.step(state, c, x, eps)
+
+    # The final solver target is the t=0 grid point where sigma_0 ~= 0.029 is
+    # *not* zero, so the sample retains an O(sigma_0 * |eps|) noise component.
+    sigma0 = float(np.sqrt(1 - abar[0]))
+    tol = 2.5 * sigma0 * float(jnp.abs(noise).max())
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x0_true), atol=tol)
+    assert float(jnp.abs(x - x0_true).max()) < 0.1
+
+
+def test_solver_scan_equivalence():
+    """Scanned solver == Python-loop solver (the pipeline uses lax.scan)."""
+    cfg = SchedulerConfig()
+    coeffs = dpm.make_coeffs(cfg, 8)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 3))
+    eps_const = jax.random.normal(jax.random.PRNGKey(2), (2, 3)) * 0.1
+
+    state = dpm.init_state(x.shape)
+    x_loop = x
+    for i in range(8):
+        c = jax.tree_util.tree_map(lambda a: a[i], coeffs)
+        state, x_loop = dpm.step(state, c, x_loop, eps_const)
+
+    def body(carry, c):
+        st, xx = carry
+        st, xx = dpm.step(st, c, xx, eps_const)
+        return (st, xx), None
+
+    (_, x_scan), _ = jax.lax.scan(body, (dpm.init_state(x.shape), x), coeffs)
+    np.testing.assert_allclose(np.asarray(x_loop), np.asarray(x_scan), rtol=1e-6)
+
+
+def _toy_pack_and_attn(h=8, w=12, f=3, heads=2, tokens=16):
+    boxes = [
+        [[0.1, 0.1, 0.5, 0.6]] * f,           # object 0, static box
+        [[0.0, 0.0, 0.0, 0.0]] * (f - 1) + [[0.5, 0.5, 0.9, 0.9]],  # appears last
+    ]
+    positions = [[2, 3], [5]]
+    keys = (("down", 0, 0, 0),)
+    pack = make_guidance_pack(boxes, positions, keys, (h, w), 0.5, 0.5)
+    rng = np.random.default_rng(0)
+    logits = rng.standard_normal((f, heads, h * w, tokens)).astype(np.float32)
+    attn = np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
+    return pack, jnp.array(attn), keys
+
+
+def test_resolution_of_key():
+    assert resolution_of_key(("down", 0, 0, 0), (40, 72)) == (40, 72)
+    assert resolution_of_key(("down", 1, 0, 0), (40, 72)) == (20, 36)
+    assert resolution_of_key(("down", 2, 1, 0), (40, 72)) == (10, 18)
+    assert resolution_of_key(("up", 1, 0, 0), (40, 72)) == (10, 18)
+    assert resolution_of_key(("up", 2, 2, 0), (40, 72)) == (20, 36)
+    assert resolution_of_key(("mid", 0, 0, 0), (40, 72)) == (5, 9)
+
+
+def test_guidance_pack_shapes():
+    pack, attn, keys = _toy_pack_and_attn()
+    key = keys[0]
+    assert pack.masks[key].shape == (2, 3, 8, 12)
+    assert pack.token_indices.shape == (2, 2)
+    np.testing.assert_array_equal(pack.token_mask, [[1, 1], [1, 0]])
+    # absent frames -> empty masks -> k_fg clamps to 1
+    assert pack.k_fg[key][1, 0] == 1
+    assert pack.k_fg[key][0, 0] >= 2
+
+
+def test_ca_energy_max_loss_behaviour():
+    """Energy must drop when attention concentrates inside the boxes."""
+    pack, attn, keys = _toy_pack_and_attn()
+    key = keys[0]
+    cfg = GuidanceConfig(fg_top_p=0.5, bg_top_p=0.5, fg_weight=1.0, bg_weight=1.0)
+
+    def energy(a):
+        return ca_energy_for_key(
+            a,
+            jnp.asarray(pack.masks[key]),
+            jnp.asarray(pack.token_indices),
+            jnp.asarray(pack.token_mask),
+            jnp.asarray(pack.k_fg[key]),
+            jnp.asarray(pack.k_bg[key]),
+            cfg,
+        )
+
+    base = float(energy(attn))
+
+    # Concentrate object-0 token attention inside its box.
+    mask0 = pack.masks[key][0].reshape(3, 1, -1)  # (F, 1, HW)
+    focused = np.array(attn)
+    for tok in (2, 3):
+        focused[..., tok] = mask0 * 0.9 + 0.001
+    focused = focused / focused.sum(-1, keepdims=True)
+    better = float(energy(jnp.array(focused)))
+    assert better < base
+
+    # And is differentiable with finite gradients.
+    g = jax.grad(lambda a: energy(a))(attn)
+    assert bool(jnp.all(jnp.isfinite(g)))
+
+
+def test_ca_energy_variants_finite():
+    pack, attn, keys = _toy_pack_and_attn()
+    key = keys[0]
+    for cfg in [
+        GuidanceConfig(use_ratio_based_loss=True),
+        GuidanceConfig(use_max_based_loss=False, use_ratio_based_loss=False),
+        GuidanceConfig(attn_sync_weight=0.1),
+        GuidanceConfig(boxdiff_loss_scale=0.5),
+        GuidanceConfig(com_loss_scale=0.03),
+    ]:
+        val = ca_energy_for_key(
+            attn,
+            jnp.asarray(pack.masks[key]),
+            jnp.asarray(pack.token_indices),
+            jnp.asarray(pack.token_mask),
+            jnp.asarray(pack.k_fg[key]),
+            jnp.asarray(pack.k_bg[key]),
+            cfg,
+        )
+        assert np.isfinite(float(val)), cfg
