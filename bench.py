@@ -1,0 +1,127 @@
+"""Benchmark: seconds per Zeroscope LVD video on the current accelerator.
+
+Measures the reference's flagship configuration (BASELINE.md): Zeroscope
+576x320, 24 frames, 40-step DPM-Solver++ with CFG, plus cross-attention
+guidance (max_iter 1 over the first 10 steps) — i.e. 80 CFG UNet forwards +
+10 guidance forward+backward passes + VAE decode of 24 frames. Weights are
+random (identical FLOPs/memory traffic to trained weights).
+
+Prints ONE JSON line:
+  {"metric": "sec_per_video", "value": N, "unit": "s", "vs_baseline": 10/N}
+vs_baseline is relative to the 10 s/video north-star (BASELINE.json, v5e-8);
+values > 1.0 beat the target.
+
+Env knobs: LVD_BENCH_TINY=1 (CPU smoke), LVD_BENCH_STEPS, LVD_BENCH_FRAMES.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from lvd_tpu.diffusion.guidance import GuidanceConfig
+    from lvd_tpu.models.loader import tiny_pipeline_models
+    from lvd_tpu.pipeline import TextToVideoPipeline
+    from lvd_tpu.runners.base import OVERALL_GUIDANCE_ATTN_KEYS
+
+    tiny = os.environ.get("LVD_BENCH_TINY") == "1"
+    if tiny:
+        jax.config.update("jax_platforms", "cpu")
+
+    if tiny:
+        models = tiny_pipeline_models()
+        steps = int(os.environ.get("LVD_BENCH_STEPS", 6))
+        frames = int(os.environ.get("LVD_BENCH_FRAMES", 4))
+        dtype = jnp.float32
+    else:
+        from lvd_tpu.config import PRESETS
+        from lvd_tpu.models import clip as clip_mod
+        from lvd_tpu.models import unet3d as unet_mod
+        from lvd_tpu.models import vae as vae_mod
+        from lvd_tpu.pipeline import PipelineModels
+        from lvd_tpu.text.tokenizer import load_tokenizer
+
+        preset = PRESETS["zeroscope"]
+        k = jax.random.split(jax.random.PRNGKey(0), 3)
+        models = PipelineModels(
+            preset=preset,
+            unet_params=unet_mod.init_unet3d(k[0], preset.unet),
+            clip_params=clip_mod.init_clip_text(k[1], preset.clip),
+            vae_params=vae_mod.init_vae(k[2], preset.vae),
+            tokenizer=load_tokenizer(None),
+        )
+        steps = int(os.environ.get("LVD_BENCH_STEPS", 40))
+        frames = int(os.environ.get("LVD_BENCH_FRAMES", 24))
+        dtype = jnp.bfloat16
+
+    pipe = TextToVideoPipeline(models, dtype=dtype)
+
+    # The reference zeroscope config (README.md:66-69).
+    g_cfg = GuidanceConfig(
+        loss_scale=2.5,
+        loss_threshold=350.0,
+        max_iter=1,
+        max_index_step=10,
+        fg_top_p=0.25,
+        bg_top_p=0.25,
+        fg_weight=1.0,
+        bg_weight=2.0,
+    )
+
+    prompt = "A bear walks from the left to the right, forest background"
+    boxes = [
+        [
+            [0.05 + 0.8 * f / max(frames - 1, 1), 0.45,
+             0.30 + 0.8 * f / max(frames - 1, 1), 0.80]
+            for f in range(frames)
+        ]
+    ]
+    backward_guidance = {
+        "boxes": boxes,
+        "object_positions": [[2]],
+        "config": g_cfg,
+        "attn_keys": OVERALL_GUIDANCE_ATTN_KEYS,
+    }
+
+    def run(seed):
+        return pipe(
+            prompt,
+            negative_prompt="dull, blurry",
+            num_inference_steps=steps,
+            num_frames=frames,
+            seed=seed,
+            backward_guidance=backward_guidance,
+        )
+
+    # Warmup: compile everything.
+    run(0)
+
+    n_trials = 1 if tiny else 3
+    t0 = time.time()
+    for i in range(n_trials):
+        run(i + 1)
+    sec = (time.time() - t0) / n_trials
+
+    print(
+        json.dumps(
+            {
+                "metric": "sec_per_video",
+                "value": round(sec, 3),
+                "unit": "s",
+                "vs_baseline": round(10.0 / sec, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

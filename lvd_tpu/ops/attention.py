@@ -25,14 +25,17 @@ import jax.numpy as jnp
 
 from .basic import linear
 
-# Toggled by lvd_tpu.ops.pallas_attention.enable() once the kernel is
-# validated on the current backend; falls back to XLA attention otherwise.
-_PALLAS_ATTENTION_FN = None
+import os
 
+# Kill-switch for the fused/chunked attention paths (debugging).
+_DISABLE_FUSED = os.environ.get("LVD_DISABLE_FLASH") == "1"
 
-def set_pallas_attention(fn) -> None:
-    global _PALLAS_ATTENTION_FN
-    _PALLAS_ATTENTION_FN = fn
+# Short-key attention (temporal over <=24 frames, cross-attention over 77
+# text tokens) stays on the XLA einsum path: the materialized probs are small
+# relative to activations and the MXU can't be fed from a 77-wide key block.
+# Long-key self-attention (spatial, up to 4096 tokens) goes to the fused
+# kernel — materializing (S, S) probs there is the reference's OOM.
+_FUSED_MIN_KEY_LEN = 256
 
 
 def _split_heads(x, num_heads: int):
@@ -52,10 +55,14 @@ def sdpa(q, k, v, scale: Optional[float] = None, return_probs: bool = False):
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
-    if not return_probs and _PALLAS_ATTENTION_FN is not None:
-        out = _PALLAS_ATTENTION_FN(q, k, v, scale)
-        if out is not None:
-            return out, None
+    if (
+        not return_probs
+        and not _DISABLE_FUSED
+        and k.shape[-2] >= _FUSED_MIN_KEY_LEN
+    ):
+        from . import pallas_attention
+
+        return pallas_attention.attention_bh(q, k, v, scale), None
     logits = jnp.einsum(
         "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
     )

@@ -1,0 +1,138 @@
+"""Pallas TPU attention kernel + chunked JAX fallback.
+
+The reference leans on torch SDPA's fused flash kernels
+(attention_processor.py:406-408); this is the TPU-native equivalent. The
+workload's sequence lengths are modest (spatial tokens <= 64*64 = 4096, text
+77, frames <= 24) but the *batch* is large (frames/pixels folded in), so the
+kernel keeps full K/V per (batch, head) in VMEM (4096 x 64 bf16 = 512 KB)
+and tiles queries — no online-softmax bookkeeping needed, one MXU matmul
+pair per tile, softmax in fp32 on the VPU.
+
+Differentiability: `flash_attention` carries a custom VJP whose backward
+recomputes probabilities per query block (`_chunked_sdpa`), so the guidance
+pass (`jax.grad` through the UNet) never materializes an (S, S) probability
+tensor either.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, scale_smem, o_ref):
+    q = q_ref[0]  # (BQ, D)
+    k = k_ref[0]  # (S, D)
+    v = v_ref[0]
+    scale = scale_smem[0]
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    logits = logits * scale
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    o_ref[0] = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(o_ref.dtype)
+
+
+def _pallas_attention(q, k, v, scale: float, block_q: int = 512):
+    """q, k, v: (BH, S_q, D), (BH, S_k, D); returns (BH, S_q, D)."""
+    bh, s_q, d = q.shape
+    s_k = k.shape[1]
+    block_q = min(block_q, s_q)
+    grid = (bh, pl.cdiv(s_q, block_q))
+    scale_arr = jnp.full((1,), scale, jnp.float32)
+
+    return pl.pallas_call(
+        _attn_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_k, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_k, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, s_q, d), q.dtype),
+    )(q, k, v, scale_arr)
+
+
+def _chunked_sdpa(q, k, v, scale: float, block_q: int = 512):
+    """Memory-light pure-JAX attention: scan over query blocks, each block
+    rematerialized in the backward pass. (BH, S, D) layout."""
+    bh, s_q, d = q.shape
+    block_q = min(block_q, s_q)
+    pad = (-s_q) % block_q
+    qp = jnp.pad(q, ((0, 0), (0, pad), (0, 0))) if pad else q
+    nblocks = qp.shape[1] // block_q
+    qb = qp.reshape(bh, nblocks, block_q, d).transpose(1, 0, 2, 3)
+
+    @jax.checkpoint
+    def one_block(q_block):
+        logits = jnp.einsum(
+            "bqd,bkd->bqk", q_block, k, preferred_element_type=jnp.float32
+        ) * jnp.float32(scale)
+        p = jax.nn.softmax(logits, axis=-1)
+        return jnp.einsum(
+            "bqk,bkd->bqd", p.astype(v.dtype), v,
+            preferred_element_type=jnp.float32,
+        ).astype(v.dtype)
+
+    out = jax.lax.map(one_block, qb)  # (nblocks, BH, BQ, D)
+    out = out.transpose(1, 0, 2, 3).reshape(bh, nblocks * block_q, d)
+    return out[:, :s_q]
+
+
+def _supported(q, k) -> bool:
+    # Pallas path constraints: TPU backend, head dim aligned to VPU lanes.
+    if jax.default_backend() not in ("tpu",):
+        return False
+    d = q.shape[-1]
+    return d % 64 == 0 and q.dtype in (jnp.float32, jnp.bfloat16)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _flash(q, k, v, scale):
+    return _pallas_attention(q, k, v, scale)
+
+
+def _flash_fwd(q, k, v, scale):
+    return _pallas_attention(q, k, v, scale), (q, k, v)
+
+
+def _flash_bwd(scale, res, g):
+    q, k, v = res
+    # Recompute-based backward through the chunked formulation.
+    _, vjp = jax.vjp(lambda q, k, v: _chunked_sdpa(q, k, v, scale), q, k, v)
+    return vjp(g)
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+def attention_bh(q, k, v, scale: float):
+    """Dispatcher on (B, H, S, D) tensors: Pallas flash kernel on TPU,
+    chunked JAX attention elsewhere. Always differentiable."""
+    b, h, s_q, d = q.shape
+    s_k = k.shape[2]
+    qf = q.reshape(b * h, s_q, d)
+    kf = k.reshape(b * h, s_k, d)
+    vf = v.reshape(b * h, s_k, d)
+    if _supported(q, k):
+        out = _flash(qf, kf, vf, scale)
+    else:
+        out = _chunked_sdpa(qf, kf, vf, scale)
+    return out.reshape(b, h, s_q, d)
+
+

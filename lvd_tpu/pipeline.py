@@ -50,6 +50,11 @@ class TextToVideoPipeline:
         self.unet_params = self._cast(models.unet_params)
         self.clip_params = self._cast(models.clip_params)
         self.vae_params = self._cast(models.vae_params)
+        # Drop the pre-cast references so the originals free device HBM
+        # (a bf16 run must not keep a shadow fp32 copy of 1.4B params).
+        models.unet_params = self.unet_params
+        models.clip_params = self.clip_params
+        models.vae_params = self.vae_params
         self._encode_jit = jax.jit(
             lambda p, ids: apply_clip_text(p, self.preset.clip, ids)
         )

@@ -1,0 +1,94 @@
+"""Fused/chunked attention correctness (CPU: chunked path + interpreted
+Pallas kernel; the real kernel is exercised on TPU by bench/graft entry)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lvd_tpu.ops import pallas_attention as pa
+from lvd_tpu.ops.attention import sdpa
+
+
+def _ref_attention(q, k, v, scale):
+    logits = jnp.einsum("bqd,bkd->bqk", q, k).astype(jnp.float32) * scale
+    p = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bqk,bkd->bqd", p.astype(v.dtype), v)
+
+
+@pytest.mark.parametrize("s_q,s_k", [(180, 180), (720, 77), (333, 77)])
+def test_chunked_matches_reference(s_q, s_k):
+    rng = np.random.default_rng(0)
+    d = 64
+    q = jnp.asarray(rng.standard_normal((4, s_q, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((4, s_k, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((4, s_k, d)), jnp.float32)
+    scale = d ** -0.5
+    got = pa._chunked_sdpa(q, k, v, scale, block_q=128)
+    want = _ref_attention(q, k, v, scale)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5)
+
+
+def test_chunked_gradients_match_reference():
+    rng = np.random.default_rng(1)
+    d = 32
+    q = jnp.asarray(rng.standard_normal((2, 96, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((2, 40, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((2, 40, d)), jnp.float32)
+    scale = d ** -0.5
+
+    def loss_chunked(q, k, v):
+        return jnp.sum(pa._chunked_sdpa(q, k, v, scale, block_q=32) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_ref_attention(q, k, v, scale) ** 2)
+
+    g_c = jax.grad(loss_chunked, argnums=(0, 1, 2))(q, k, v)
+    g_r = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_c, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5)
+
+
+def test_pallas_kernel_interpret_mode():
+    """Run the actual kernel body through the Pallas interpreter on CPU."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.default_rng(2)
+    bh, s, d = 3, 256, 64
+    q = jnp.asarray(rng.standard_normal((bh, s, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((bh, s, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((bh, s, d)), jnp.float32)
+    scale = jnp.full((1,), d ** -0.5, jnp.float32)
+
+    block_q = 128
+    out = pl.pallas_call(
+        pa._attn_kernel,
+        grid=(bh, s // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, s, d), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, s, d), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, s, d), q.dtype),
+        interpret=True,
+    )(q, k, v, scale)
+
+    want = _ref_attention(q, k, v, float(d ** -0.5))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=2e-4, atol=2e-5)
+
+
+def test_sdpa_dispatch_consistency():
+    """sdpa with and without the fused path must agree (B, H, S, D layout)."""
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.standard_normal((2, 4, 400, 64)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((2, 4, 400, 64)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((2, 4, 400, 64)), jnp.float32)
+    out_fused, _ = sdpa(q, k, v)  # dispatches chunked on CPU (>256*256)
+    out_probs, probs = sdpa(q, k, v, return_probs=True)
+    assert probs is not None
+    np.testing.assert_allclose(
+        np.asarray(out_fused), np.asarray(out_probs), rtol=2e-4, atol=2e-5
+    )
