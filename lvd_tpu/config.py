@@ -148,6 +148,11 @@ PRESETS = {
         attention_type="gated",
         checkpoint="longlian/text-to-video-lvd-zs",
     ),
+    # High-res vid2vid refiner (scripts/upsample.py, generation/zeroscope_dpm.py:90-109)
+    "zeroscope_xl": _preset(
+        "zeroscope_xl", 576, 1024, 24, (72, 128),
+        checkpoint="cerspense/zeroscope_v2_XL",
+    ),
 }
 
 

@@ -50,6 +50,13 @@ class GuidanceConfig:
     boxdiff_normed: bool = True
     com_loss_scale: float = 0.0
     eps: float = 1e-2
+    # Gaussian smoothing of token attention maps before the energy. Unlike
+    # the reference (which blurs over the flattened (HW, token) plane,
+    # utils/guidance.py:210-218), smoothing here is applied spatially per
+    # token map — the physically meaningful formulation.
+    smooth_attn: bool = False
+    smooth_kernel_size: int = 3
+    smooth_sigma: float = 0.5
 
 
 def _topk_mean_desc(values, k):
@@ -103,6 +110,15 @@ def ca_energy_for_key(
     gathered = jnp.take(attn, token_indices.reshape(-1), axis=-1)
     gathered = gathered.reshape(n_f, n_heads, hw, n_obj, n_p)
     a = jnp.transpose(gathered, (3, 4, 0, 1, 2))  # (O, P, F, h, HW)
+
+    if cfg.smooth_attn:
+        from ..ops.smoothing import smooth_attn_maps
+
+        a = smooth_attn_maps(
+            a.reshape(n_obj, n_p, n_f, n_heads, hk, wk),
+            cfg.smooth_kernel_size,
+            cfg.smooth_sigma,
+        ).reshape(n_obj, n_p, n_f, n_heads, hw)
 
     m = masks.reshape(n_obj, 1, n_f, 1, hw)  # (O, 1, F, 1, HW)
 

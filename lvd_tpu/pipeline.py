@@ -143,6 +143,79 @@ class TextToVideoPipeline:
         return self._sample_jit_cache[flags]
 
     @functools.cached_property
+    def _encode_image_jit(self):
+        def fn(vae_params, images, key):
+            from .models.vae import encode as vae_encode
+
+            mean, logvar = vae_encode(vae_params, self.preset.vae, images)
+            std = jnp.exp(0.5 * logvar)
+            z = mean + std * jax.random.normal(key, mean.shape, mean.dtype)
+            return z * self.preset.vae.scaling_factor
+
+        return jax.jit(fn)
+
+    def encode_video(self, video, seed: int = 0, chunk: int = 8):
+        """(F, H, W, 3) float [0,1] -> (1, F, h, w, C) latents."""
+        video = np.asarray(video, np.float32) * 2.0 - 1.0
+        f = video.shape[0]
+        outs = []
+        key = jax.random.PRNGKey(seed)
+        for i in range(0, f, chunk):
+            key, sub = jax.random.split(key)
+            outs.append(
+                np.asarray(
+                    self._encode_image_jit(
+                        self.vae_params, jnp.asarray(video[i : i + chunk], self.dtype), sub
+                    )
+                )
+            )
+        latents = np.concatenate(outs, axis=0)
+        return jnp.asarray(latents[None], self.dtype)
+
+    def video_to_video(
+        self,
+        prompt: str,
+        video,  # (F, H, W, 3) float [0, 1]
+        strength: float = 0.6,
+        negative_prompt: str = "",
+        num_inference_steps: int = 50,
+        guidance_scale: float = 9.0,
+        seed: int = 0,
+        output_type: str = "np",
+    ):
+        """SDEdit-style vid2vid (the Zeroscope-XL refinement pass,
+        reference scripts/upsample.py:14-64): encode, renoise to
+        ``strength`` of the schedule, denoise the tail."""
+        import numpy as _np
+
+        from .diffusion import schedule as schedule_mod
+
+        latents0 = self.encode_video(video, seed=seed)
+        full_ts = schedule_mod.inference_timesteps(
+            self.preset.scheduler, num_inference_steps
+        )
+        start = max(num_inference_steps - int(num_inference_steps * strength), 0)
+        tail_ts = full_ts[start:]
+        coeffs = dpm.make_coeffs(self.preset.scheduler, timesteps=tail_ts)
+
+        abar = schedule_mod.make_alphas_cumprod(self.preset.scheduler)
+        t0 = int(tail_ts[0])
+        key = jax.random.PRNGKey(seed + 99991)
+        noise = jax.random.normal(key, latents0.shape, jnp.float32)
+        latents = (
+            _np.sqrt(abar[t0]).astype(_np.float32) * latents0.astype(jnp.float32)
+            + _np.sqrt(1 - abar[t0]).astype(_np.float32) * noise
+        ).astype(self.dtype)
+
+        text_pair = self.encode_prompt(prompt, negative_prompt).astype(self.dtype)
+        flags = (False, (), None, False, 0, float(guidance_scale), len(tail_ts))
+        sample = self._sample_fn(flags)
+        final = sample(self.unet_params, latents, text_pair, coeffs, None, None)
+        if output_type == "latent":
+            return final
+        return self.decode_latents(final)
+
+    @functools.cached_property
     def _decode_jit(self):
         def fn(vae_params, latents):
             imgs = vae_decode(
