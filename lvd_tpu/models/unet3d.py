@@ -335,19 +335,49 @@ def _spatial_transformer(p, x, context, num_heads, cfg, *, key, capture_keys, au
     return y.reshape(n, h, w, c) + residual
 
 
+def _temporal_attention_block(p, y, num_heads, ln_eps: float = 1e-5):
+    """One double-self-attention BasicTransformerBlock over the frame axis,
+    computed in the native (B, F, P, C) layout.
+
+    The reference transposes pixels into the batch dim ((B*H*W, F, C),
+    transformer_temporal.py:143-158); on TPU that transpose relayouts every
+    activation twice per temporal block. Instead frames stay a middle axis
+    and the tiny FxF attention is a batched einsum over (pixel, head) dims.
+    """
+    d = y.shape[-1] // num_heads
+
+    def attn(pa, y):
+        b, f, pp, c = y.shape
+
+        def heads(t):
+            return t.reshape(b, f, pp, num_heads, d)
+
+        q = heads(linear(pa["to_q"], y))
+        k = heads(linear(pa["to_k"], y))
+        v = heads(linear(pa["to_v"], y))
+        logits = jnp.einsum(
+            "bfphd,bgphd->bphfg", q, k, preferred_element_type=jnp.float32
+        ) * jnp.float32(d ** -0.5)
+        probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bphfg,bgphd->bfphd", probs, v)
+        return linear(pa["to_out"], out.reshape(b, f, pp, c))
+
+    y = y + attn(p["attn1"], layer_norm(p["norm1"], y, ln_eps))
+    y = y + attn(p["attn2"], layer_norm(p["norm2"], y, ln_eps))
+    y = y + feed_forward(p["ff"], layer_norm(p["norm3"], y, ln_eps))
+    return y
+
+
 def _temporal_transformer(p, x, num_frames, num_heads, cfg):
     n, h, w, c = x.shape
     b = n // num_frames
     residual = x
-    y = x.reshape(b, num_frames, h, w, c)
+    y = x.reshape(b, num_frames, h * w, c)  # contiguous reshape, no relayout
     y = group_norm(p["norm"], y, cfg.norm_num_groups, cfg.transformer_norm_eps)
-    # pixels -> batch, frames -> sequence
-    y = y.transpose(0, 2, 3, 1, 4).reshape(b * h * w, num_frames, c)
     y = linear(p["proj_in"], y)
     for block in p["blocks"]:
-        y, _ = _btb_apply(block, y, None, num_heads, double_self_attention=True)
+        y = _temporal_attention_block(block, y, num_heads)
     y = linear(p["proj_out"], y)
-    y = y.reshape(b, h, w, num_frames, c).transpose(0, 3, 1, 2, 4)
     return y.reshape(n, h, w, c) + residual
 
 

@@ -62,31 +62,63 @@ def group_norm(p, x, num_groups: int = 32, eps: float = 1e-5):
     Statistics are computed per (batch, group) over all non-batch axes —
     matching torch.nn.GroupNorm where for input (N, C, *spatial) the
     normalization covers (C/G, *spatial).
+
+    TPU note: reshaping channels into (G, C/G) puts C/G (e.g. 10) on the
+    lane dimension — a relayout of every activation, twice, per norm.
+    Instead, group sums are taken with a one-hot (C, G) matmul (MXU does the
+    reduction) and the normalization stays in the native (..., C) layout.
     """
     orig_dtype = x.dtype
-    x = x.astype(jnp.float32)
+    orig_shape = x.shape
     n = x.shape[0]
     c = x.shape[-1]
-    spatial = x.shape[1:-1]
     g = num_groups
-    xg = x.reshape(n, -1, g, c // g)  # (N, prod(spatial), G, C/G)
-    mean = xg.mean(axis=(1, 3), keepdims=True)
-    var = xg.var(axis=(1, 3), keepdims=True)
-    xg = (xg - mean) * jax.lax.rsqrt(var + eps)
-    x = xg.reshape(n, *spatial, c)
-    x = x * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
-    return x.astype(orig_dtype)
+    per_group = (x.size // n) // g
+
+    xr = x.reshape(n, -1, c)
+    onehot = (
+        jnp.arange(c, dtype=jnp.int32)[:, None] // (c // g)
+        == jnp.arange(g, dtype=jnp.int32)[None, :]
+    ).astype(jnp.float32)
+
+    # Per-channel sums/sumsqs with fp32 accumulation; the fp32 casts feed
+    # reductions directly so no fp32 copy of x is ever materialized.
+    s1c = jnp.sum(xr, axis=1, dtype=jnp.float32)  # (n, c)
+    s2c = jnp.einsum(
+        "nsc,nsc->nc",
+        xr.astype(jnp.float32),
+        xr.astype(jnp.float32),
+    )
+    s1 = s1c @ onehot  # (n, g)
+    s2 = s2c @ onehot
+    mean_g = s1 / per_group
+    var_g = jnp.maximum(s2 / per_group - mean_g * mean_g, 0.0)
+    inv_g = jax.lax.rsqrt(var_g + eps)
+
+    # Per-channel affine folded with the group statistics:
+    #   y = (x - mean) * inv * scale + bias = x * a + b
+    scale = p["scale"].astype(jnp.float32)
+    bias = p["bias"].astype(jnp.float32)
+    inv_c = inv_g @ onehot.T  # (n, c)
+    mean_c = mean_g @ onehot.T
+    a = inv_c * scale[None, :]
+    b = bias[None, :] - mean_c * a
+    y = xr.astype(jnp.float32) * a[:, None, :] + b[:, None, :]
+    return y.reshape(orig_shape).astype(orig_dtype)
 
 
 def layer_norm(p: Optional[dict], x, eps: float = 1e-5):
     orig_dtype = x.dtype
-    x = x.astype(jnp.float32)
-    mean = x.mean(axis=-1, keepdims=True)
-    var = x.var(axis=-1, keepdims=True)
-    x = (x - mean) * jax.lax.rsqrt(var + eps)
+    # fp32 statistics via accumulating reductions (no fp32 copy of x).
+    mean = jnp.mean(x, axis=-1, keepdims=True, dtype=jnp.float32)
+    m2 = jnp.mean(
+        x.astype(jnp.float32) * x.astype(jnp.float32), axis=-1, keepdims=True
+    )
+    var = jnp.maximum(m2 - mean * mean, 0.0)
+    y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + eps)
     if p is not None:
-        x = x * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
-    return x.astype(orig_dtype)
+        y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return y.astype(orig_dtype)
 
 
 def silu(x):

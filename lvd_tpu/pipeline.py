@@ -25,6 +25,7 @@ from .layout.rasterize import GuidancePack, make_guidance_pack
 from .models.clip import apply_clip_text
 from .models.unet3d import apply_unet3d
 from .models.vae import decode as vae_decode
+from .utils.profiling import PhaseTimer, maybe_trace
 
 MAX_GLIGEN_OBJS = 30  # reference controllable_pipeline:738
 
@@ -59,6 +60,7 @@ class TextToVideoPipeline:
             lambda p, ids: apply_clip_text(p, self.preset.clip, ids)
         )
         self._sample_jit_cache = {}
+        self.timer = PhaseTimer()
 
     # -- text ------------------------------------------------------------
     def encode_prompt(self, prompt: str, negative_prompt: str = ""):
@@ -265,7 +267,8 @@ class TextToVideoPipeline:
             raise ValueError(f"height/width must be multiples of 8: {height}x{width}")
         h_lat, w_lat = height // preset.vae.scale_factor, width // preset.vae.scale_factor
 
-        text_pair = self.encode_prompt(prompt, negative_prompt).astype(self.dtype)
+        with self.timer.phase("encode_prompt"):
+            text_pair = self.encode_prompt(prompt, negative_prompt).astype(self.dtype)
 
         key = jax.random.PRNGKey(seed)
         if latents is None:
@@ -314,11 +317,15 @@ class TextToVideoPipeline:
             num_inference_steps,
         )
         sample = self._sample_fn(flags)
-        final = sample(
-            self.unet_params, latents, text_pair, coeffs, guidance_arrays, gligen_pair
-        )
+        with self.timer.phase("sample"), maybe_trace("sample"):
+            final = sample(
+                self.unet_params, latents, text_pair, coeffs, guidance_arrays,
+                gligen_pair,
+            )
+            final.block_until_ready()
 
         if output_type == "latent":
             return final
-        video = self.decode_latents(final)
+        with self.timer.phase("decode"):
+            video = self.decode_latents(final)
         return video  # (B, F, H, W, 3) float32 in [0, 1]

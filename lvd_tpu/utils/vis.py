@@ -23,6 +23,14 @@ def _ensure_parent(path: str):
 
 def save_gif(path: str, frames: Sequence[np.ndarray], fps: int = 8):
     _ensure_parent(path)
+    frames = np.asarray(frames, np.uint8)
+    # Native C++ encoder first (fast path); PIL as fallback.
+    from . import native
+
+    if frames.ndim == 4 and frames.shape[-1] == 3 and native.gif_encode(
+        path, frames, fps=fps
+    ):
+        return path
     images = [Image.fromarray(np.asarray(f, np.uint8)) for f in frames]
     images[0].save(
         path,
