@@ -24,29 +24,44 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+_LOG2E = 1.4426950408889634
+
+
 def _attn_kernel(q_ref, k_ref, v_ref, scale_smem, o_ref):
+    # VPU-lean softmax: the scale folds into q (a (BQ, D) multiply instead
+    # of (BQ, S)), exp2 replaces exp, and the row normalization is applied
+    # to the (BQ, D) output of the PV matmul instead of the (BQ, S) probs.
     q = q_ref[0]  # (BQ, D)
     k = k_ref[0]  # (S, D)
     v = v_ref[0]
-    scale = scale_smem[0]
+    scale = scale_smem[0] * _LOG2E
+    qs = q.astype(jnp.float32) * scale
     logits = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        qs.astype(q.dtype), k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
-    logits = logits * scale
     m = jnp.max(logits, axis=-1, keepdims=True)
-    p = jnp.exp(logits - m)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)
-    o_ref[0] = jax.lax.dot_general(
+    p = jnp.exp2(logits - m)
+    s = jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).astype(o_ref.dtype)
+    )
+    o_ref[0] = (o / s).astype(o_ref.dtype)
 
 
-def _pallas_attention(q, k, v, scale: float, block_q: int = 512):
+def _default_block_q(s_q: int, s_k: int) -> int:
+    """Largest query tile whose fp32 logits block fits comfortably in VMEM
+    (~9 MB for logits; K/V + double-buffering take the rest of 16 MB)."""
+    cap = (9 * 1024 * 1024) // (4 * s_k)
+    return max(128, min(s_q, (cap // 8) * 8, 1024))
+
+
+def _pallas_attention(q, k, v, scale: float, block_q: int = None):
     """q, k, v: (BH, S_q, D), (BH, S_k, D); returns (BH, S_q, D)."""
     bh, s_q, d = q.shape
     s_k = k.shape[1]
-    block_q = min(block_q, s_q)
+    block_q = min(block_q or _default_block_q(s_q, s_k), s_q)
     grid = (bh, pl.cdiv(s_q, block_q))
     scale_arr = jnp.full((1,), scale, jnp.float32)
 
