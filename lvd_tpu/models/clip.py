@@ -27,7 +27,7 @@ def _init_norm(c):
     return {"scale": jnp.ones((c,), jnp.float32), "bias": jnp.zeros((c,), jnp.float32)}
 
 
-def init_clip_text(rng, cfg: CLIPTextConfig):
+def init_clip_text(rng, cfg: CLIPTextConfig, with_projection: bool = False):
     keys = iter(jax.random.split(rng, 16 + 8 * cfg.num_hidden_layers))
     params = {
         "token_embedding": jax.random.normal(
@@ -41,6 +41,15 @@ def init_clip_text(rng, cfg: CLIPTextConfig):
         "final_layer_norm": _init_norm(cfg.hidden_size),
         "layers": [],
     }
+    if with_projection:
+        # CLIPTextModelWithProjection (SDXL text encoders): bias-free
+        # projection of the pooled output.
+        params["text_projection"] = {
+            "w": jax.random.normal(
+                next(keys), (cfg.hidden_size, cfg.projection_dim), jnp.float32
+            )
+            * cfg.hidden_size ** -0.5
+        }
     for _ in range(cfg.num_hidden_layers):
         params["layers"].append(
             {
@@ -83,15 +92,27 @@ def _act(x, kind: str):
     raise ValueError(kind)
 
 
-def apply_clip_text(params, cfg: CLIPTextConfig, input_ids, eos_token_id: int = 49407):
-    """input_ids: (B, L) int32 -> dict with last_hidden_state (B, L, D) and
-    pooler_output (B, D) (hidden state at the first eos position)."""
+def apply_clip_text(
+    params,
+    cfg: CLIPTextConfig,
+    input_ids,
+    eos_token_id: int = 49407,
+    return_penultimate: bool = False,
+):
+    """input_ids: (B, L) int32 -> dict with last_hidden_state (B, L, D),
+    pooler_output (B, D) (hidden state at the first eos position),
+    optionally penultimate_hidden_state (SDXL conditions on it) and
+    text_embeds (projected pooled output, when the params carry a
+    text_projection)."""
     b, s = input_ids.shape
     x = params["token_embedding"][input_ids] + params["position_embedding"][None, :s]
 
     causal = jnp.triu(jnp.full((s, s), -1e9, jnp.float32), k=1)[None, None]
 
-    for layer in params["layers"]:
+    penultimate = None
+    for i, layer in enumerate(params["layers"]):
+        if return_penultimate and i == len(params["layers"]) - 1:
+            penultimate = x
         h = layer_norm(layer["layer_norm1"], x, cfg.layer_norm_eps)
         x = x + _attn(layer, h, cfg.num_attention_heads, causal)
         h = layer_norm(layer["layer_norm2"], x, cfg.layer_norm_eps)
@@ -104,4 +125,9 @@ def apply_clip_text(params, cfg: CLIPTextConfig, input_ids, eos_token_id: int = 
     # argmax returns the first maximal element -> first eos position.
     eos_pos = jnp.argmax(is_eos, axis=-1)
     pooled = x[jnp.arange(b), eos_pos]
-    return {"last_hidden_state": x, "pooler_output": pooled}
+    out = {"last_hidden_state": x, "pooler_output": pooled}
+    if penultimate is not None:
+        out["penultimate_hidden_state"] = penultimate
+    if "text_projection" in params:
+        out["text_embeds"] = linear(params["text_projection"], pooled)
+    return out

@@ -242,6 +242,106 @@ def convert_unet3d(sd: Dict, cfg: UNet3DConfig) -> dict:
     return params
 
 
+def convert_unet2d(sd: Dict, cfg) -> dict:
+    """HF UNet2DConditionModel (SD1.x / SDXL-refiner) -> unet2d pytree.
+
+    ``cfg``: models.unet2d.UNet2DConfig (drives attention placement and
+    per-layer transformer depth).
+    """
+    gated = cfg.attention_type == "gated"
+
+    def spatial(prefix: str, depth: int) -> dict:
+        return {
+            "norm": norm_p(sd, f"{prefix}.norm"),
+            "proj_in": lin(sd, f"{prefix}.proj_in"),
+            "blocks": [
+                btb_p(sd, f"{prefix}.transformer_blocks.{k}", gated)
+                for k in range(depth)
+            ],
+            "proj_out": lin(sd, f"{prefix}.proj_out"),
+        }
+
+    def layer(res_prefix, attn_prefix, with_attn, depth):
+        p = {"resnet": resnet_p(sd, res_prefix)}
+        if with_attn:
+            p["attn"] = spatial(attn_prefix, depth)
+        return p
+
+    params = {
+        "conv_in": conv2d_p(sd, "conv_in"),
+        "time_embedding": {
+            "linear_1": lin(sd, "time_embedding.linear_1"),
+            "linear_2": lin(sd, "time_embedding.linear_2"),
+        },
+        "conv_norm_out": norm_p(sd, "conv_norm_out"),
+        "conv_out": conv2d_p(sd, "conv_out"),
+    }
+    if "add_embedding.linear_1.weight" in sd:
+        params["add_embedding"] = {
+            "linear_1": lin(sd, "add_embedding.linear_1"),
+            "linear_2": lin(sd, "add_embedding.linear_2"),
+        }
+
+    n = cfg.num_blocks
+    down = []
+    for i in range(n):
+        block = {
+            "layers": [
+                layer(
+                    f"down_blocks.{i}.resnets.{j}",
+                    f"down_blocks.{i}.attentions.{j}",
+                    cfg.down_block_has_attn[i],
+                    cfg.transformer_depth[i],
+                )
+                for j in range(cfg.layers_per_block)
+            ]
+        }
+        if f"down_blocks.{i}.downsamplers.0.conv.weight" in sd:
+            block["downsample"] = conv2d_p(sd, f"down_blocks.{i}.downsamplers.0.conv")
+        down.append(block)
+    params["down_blocks"] = down
+
+    params["mid_block"] = {
+        "resnet_in": resnet_p(sd, "mid_block.resnets.0"),
+        "layers": [
+            {
+                "attn": spatial("mid_block.attentions.0", cfg.mid_transformer_depth),
+                "resnet": resnet_p(sd, "mid_block.resnets.1"),
+            }
+        ],
+    }
+
+    rev_attn = list(reversed(cfg.down_block_has_attn))
+    rev_depth = list(reversed(cfg.transformer_depth))
+    up = []
+    for i in range(n):
+        block = {
+            "layers": [
+                layer(
+                    f"up_blocks.{i}.resnets.{j}",
+                    f"up_blocks.{i}.attentions.{j}",
+                    rev_attn[i],
+                    rev_depth[i],
+                )
+                for j in range(cfg.layers_per_block + 1)
+            ]
+        }
+        if f"up_blocks.{i}.upsamplers.0.conv.weight" in sd:
+            block["upsample"] = conv2d_p(sd, f"up_blocks.{i}.upsamplers.0.conv")
+        up.append(block)
+    params["up_blocks"] = up
+
+    if gated and "position_net.linears.0.weight" in sd:
+        params["position_net"] = {
+            "linears_0": lin(sd, "position_net.linears.0"),
+            "linears_1": lin(sd, "position_net.linears.2"),
+            "linears_2": lin(sd, "position_net.linears.4"),
+            "null_positive_feature": _t(sd["position_net.null_positive_feature"]),
+            "null_position_feature": _t(sd["position_net.null_position_feature"]),
+        }
+    return params
+
+
 def convert_clip_text(sd: Dict, cfg: CLIPTextConfig) -> dict:
     pre = "text_model." if any(k.startswith("text_model.") for k in sd) else ""
     params = {
@@ -266,6 +366,13 @@ def convert_clip_text(sd: Dict, cfg: CLIPTextConfig) -> dict:
             }
         )
         i += 1
+    if f"{pre}text_projection.weight" in sd or "text_projection.weight" in sd:
+        key = (
+            f"{pre}text_projection"
+            if f"{pre}text_projection.weight" in sd
+            else "text_projection"
+        )
+        params["text_projection"] = {"w": _t(sd[f"{key}.weight"]).T}
     return params
 
 
@@ -411,6 +518,62 @@ def _find_weights(dirpath: str) -> Optional[str]:
     return None
 
 
+def convert_sdxl_refiner(src: str, dst: str, validate: bool = True):
+    """Convert an SDXL-refiner checkpoint (unet + text_encoder_2 + vae)."""
+    import jax
+
+    from . import clip as clip_mod
+    from . import unet2d as unet2d_mod
+    from . import vae as vae_mod
+    from .loader import save_params
+
+    os.makedirs(dst, exist_ok=True)
+
+    unet_cfg = unet2d_mod.sdxl_refiner_config()
+    sd = load_torch_state_dict(_find_weights(os.path.join(src, "unet")))
+    unet = convert_unet2d(sd, unet_cfg)
+    if validate:
+        validate_against_init(
+            unet, unet2d_mod.init_unet2d(jax.random.PRNGKey(0), unet_cfg), "sdxl-unet"
+        )
+    save_params(os.path.join(dst, "unet.npz"), unet)
+
+    clip_cfg = CLIPTextConfig(
+        hidden_size=1280, intermediate_size=5120, num_hidden_layers=32,
+        num_attention_heads=20, projection_dim=1280,
+    )
+    te_dir = os.path.join(src, "text_encoder_2")
+    if not os.path.isdir(te_dir):
+        te_dir = os.path.join(src, "text_encoder")
+    sd = load_torch_state_dict(_find_weights(te_dir))
+    clip = convert_clip_text(sd, clip_cfg)
+    if validate:
+        validate_against_init(
+            clip,
+            clip_mod.init_clip_text(jax.random.PRNGKey(0), clip_cfg, with_projection=True),
+            "sdxl-clip",
+        )
+    save_params(os.path.join(dst, "clip.npz"), clip)
+
+    sd = load_torch_state_dict(_find_weights(os.path.join(src, "vae")))
+    vae = convert_vae(sd, VAEConfig(scaling_factor=0.13025))
+    if validate:
+        validate_against_init(
+            vae, vae_mod.init_vae(jax.random.PRNGKey(0), VAEConfig()), "sdxl-vae"
+        )
+    save_params(os.path.join(dst, "vae.npz"), vae)
+
+    for sub in ("tokenizer_2", "tokenizer"):
+        tok = os.path.join(src, sub)
+        if os.path.isdir(tok):
+            for name in ("vocab.json", "merges.txt"):
+                p = os.path.join(tok, name)
+                if os.path.exists(p):
+                    shutil.copy(p, os.path.join(dst, name))
+            break
+    print(f"SDXL refiner converted to {dst}")
+
+
 def convert_checkpoint(src: str, dst: str, gated: bool = False, validate: bool = True):
     """Convert a full HF text-to-video checkpoint directory."""
     import jax
@@ -516,9 +679,16 @@ def main(argv=None):
     p.add_argument("--src", required=True, help="HF checkpoint directory")
     p.add_argument("--dst", required=True, help="Output directory")
     p.add_argument("--gated", action="store_true", help="GLIGEN checkpoint")
+    p.add_argument("--sdxl-refiner", action="store_true",
+                   help="Convert an SDXL refiner instead of a T2V checkpoint")
     p.add_argument("--no-validate", action="store_true")
     args = p.parse_args(argv)
-    convert_checkpoint(args.src, args.dst, gated=args.gated, validate=not args.no_validate)
+    if args.sdxl_refiner:
+        convert_sdxl_refiner(args.src, args.dst, validate=not args.no_validate)
+    else:
+        convert_checkpoint(
+            args.src, args.dst, gated=args.gated, validate=not args.no_validate
+        )
 
 
 if __name__ == "__main__":

@@ -43,12 +43,23 @@ class UNet2DConfig:
     cross_attention_dim: int = 768
     # SD1.x: 8 heads at every block (head dim varies with width).
     num_heads: Tuple[int, ...] = (8, 8, 8, 8)
+    # Which down blocks carry cross-attention (up mirrors the reverse) and
+    # how many transformer blocks per attention layer. SD1.x: attn on the
+    # first three, depth 1. SDXL-refiner: attn on the middle blocks, depth 4.
+    down_block_has_attn: Tuple[bool, ...] = (True, True, True, False)
+    transformer_depth: Tuple[int, ...] = (1, 1, 1, 0)
+    mid_transformer_depth: int = 1
     norm_num_groups: int = 32
     norm_eps: float = 1e-5
     transformer_norm_eps: float = 1e-6
     attention_type: str = "default"
     gligen_positive_len: int = 768
     gligen_fourier_freqs: int = 8
+    # SDXL "text_time" additional conditioning: pooled text embedding +
+    # Fourier-embedded time_ids, projected into the time embedding.
+    addition_embed_type: str = ""  # "" | "text_time"
+    addition_time_embed_dim: int = 256
+    projection_class_embeddings_input_dim: int = 0
 
     @property
     def time_embed_dim(self) -> int:
@@ -57,6 +68,26 @@ class UNet2DConfig:
     @property
     def num_blocks(self) -> int:
         return len(self.block_out_channels)
+
+
+def sdxl_refiner_config() -> "UNet2DConfig":
+    """stabilityai/stable-diffusion-xl-refiner-1.0 UNet layout (used by the
+    per-frame upsampler, reference scripts/upsample.py:160-177). Conditions
+    on OpenCLIP-bigG hidden states (1280) plus pooled text + (size, crop,
+    aesthetic-score) time ids."""
+    return UNet2DConfig(
+        block_out_channels=(384, 768, 1536, 1536),
+        layers_per_block=2,
+        cross_attention_dim=1280,
+        num_heads=(6, 12, 24, 24),
+        down_block_has_attn=(False, True, True, False),
+        transformer_depth=(0, 4, 4, 0),
+        mid_transformer_depth=4,
+        addition_embed_type="text_time",
+        addition_time_embed_dim=256,
+        # pooled (1280) + 5 time ids x 256 (orig size, crop, aesthetic score)
+        projection_class_embeddings_input_dim=2560,
+    )
 
 
 def tiny_unet2d_config(attention_type: str = "default") -> UNet2DConfig:
@@ -89,26 +120,38 @@ def _init_unet2d_jit(rng, cfg: UNet2DConfig):
             ),
         },
     }
+    if cfg.addition_embed_type == "text_time":
+        params["add_embedding"] = {
+            "linear_1": u3._init_linear(
+                next(keys),
+                cfg.projection_class_embeddings_input_dim,
+                cfg.time_embed_dim,
+            ),
+            "linear_2": u3._init_linear(
+                next(keys), cfg.time_embed_dim, cfg.time_embed_dim
+            ),
+        }
 
-    def layer(cin, cout, with_attn):
+    def layer(cin, cout, with_attn, depth):
         p = {"resnet": u3._init_resnet(next(keys), cin, cout, cfg.time_embed_dim)}
         if with_attn:
             p["attn"] = u3._init_spatial_transformer(
-                next(keys), cout, cfg.cross_attention_dim, gated=gated
+                next(keys), cout, cfg.cross_attention_dim, gated=gated,
+                depth=depth,
             )
         return p
 
     down = []
     ch = boc[0]
     for i, cout in enumerate(boc):
-        is_final = i == len(boc) - 1
+        has_attn = cfg.down_block_has_attn[i]
         block = {
             "layers": [
-                layer(ch if j == 0 else cout, cout, with_attn=not is_final)
+                layer(ch if j == 0 else cout, cout, has_attn, cfg.transformer_depth[i])
                 for j in range(cfg.layers_per_block)
             ]
         }
-        if not is_final:
+        if i < len(boc) - 1:
             block["downsample"] = u3._init_conv(next(keys), 3, 3, cout, cout)
         down.append(block)
         ch = cout
@@ -116,11 +159,13 @@ def _init_unet2d_jit(rng, cfg: UNet2DConfig):
 
     params["mid_block"] = {
         "resnet_in": u3._init_resnet(next(keys), boc[-1], boc[-1], cfg.time_embed_dim),
-        "layers": [layer(boc[-1], boc[-1], with_attn=True)],
+        "layers": [layer(boc[-1], boc[-1], True, cfg.mid_transformer_depth)],
     }
 
     up = []
     rev = list(reversed(boc))
+    rev_attn = list(reversed(cfg.down_block_has_attn))
+    rev_depth = list(reversed(cfg.transformer_depth))
     prev = rev[0]
     for i, cout in enumerate(rev):
         is_final = i == len(boc) - 1
@@ -129,7 +174,7 @@ def _init_unet2d_jit(rng, cfg: UNet2DConfig):
         for j in range(cfg.layers_per_block + 1):
             skip_ch = skip_source if j == cfg.layers_per_block else cout
             cin = (prev if j == 0 else cout) + skip_ch
-            layers.append(layer(cin, cout, with_attn=i > 0))
+            layers.append(layer(cin, cout, rev_attn[i], rev_depth[i]))
         block = {"layers": layers}
         if not is_final:
             block["upsample"] = u3._init_conv(next(keys), 3, 3, cout, cout)
@@ -158,6 +203,7 @@ def apply_unet2d(
     encoder_hidden_states,   # (B, L, D)
     *,
     gligen=None,             # {boxes (B,M,4), masks (B,M), positive_embeddings}
+    added_cond=None,         # SDXL: {"text_embeds": (B, D_pool), "time_ids": (B, K)}
     capture_keys: Sequence[tuple] = (),
     remat: bool = False,
 ):
@@ -175,6 +221,17 @@ def apply_unet2d(
         timesteps = jnp.broadcast_to(timesteps, (b,))
     t_emb = timestep_embedding(timesteps, boc[0]).astype(sample.dtype)
     temb = time_embedding_mlp(params["time_embedding"], t_emb)
+    if cfg.addition_embed_type == "text_time":
+        # SDXL conditioning: Fourier-embed each time id, concat with the
+        # pooled text embedding, and add through a 2-layer MLP.
+        tid = added_cond["time_ids"].astype(jnp.float32).reshape(-1)
+        tid_emb = timestep_embedding(
+            tid, cfg.addition_time_embed_dim
+        ).reshape(b, -1)
+        add = jnp.concatenate(
+            [added_cond["text_embeds"].astype(jnp.float32), tid_emb], axis=-1
+        ).astype(sample.dtype)
+        temb = temb + time_embedding_mlp(params["add_embedding"], add)
     context = encoder_hidden_states.astype(sample.dtype)
 
     gligen_objs = None
@@ -211,10 +268,9 @@ def apply_unet2d(
 
     res_stack = [x]
     for i, block in enumerate(params["down_blocks"]):
-        is_final = i == len(boc) - 1
         for j, lp in enumerate(block["layers"]):
             x = run_layer(
-                lp, x, key=("down", i, j), with_attn=not is_final,
+                lp, x, key=("down", i, j), with_attn=cfg.down_block_has_attn[i],
                 num_heads=cfg.num_heads[i],
             )
             res_stack.append(x)
@@ -234,12 +290,14 @@ def apply_unet2d(
 
     rev = list(reversed(boc))
     rev_heads = list(reversed(cfg.num_heads))
+    rev_attn = list(reversed(cfg.down_block_has_attn))
     for i, block in enumerate(params["up_blocks"]):
         for j, lp in enumerate(block["layers"]):
             skip = res_stack.pop()
             x = jnp.concatenate([x, skip], axis=-1)
             x = run_layer(
-                lp, x, key=("up", i, j), with_attn=i > 0, num_heads=rev_heads[i]
+                lp, x, key=("up", i, j), with_attn=rev_attn[i],
+                num_heads=rev_heads[i],
             )
         if "upsample" in block:
             y = upsample_nearest_2x(x)

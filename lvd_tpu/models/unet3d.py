@@ -142,20 +142,21 @@ def _init_btb(rng, dim, context_dim, *, double_self_attention=False, fuser_conte
     return p
 
 
-def _init_spatial_transformer(rng, channels, context_dim, *, gated):
-    k = jax.random.split(rng, 3)
+def _init_spatial_transformer(rng, channels, context_dim, *, gated, depth: int = 1):
+    k = jax.random.split(rng, 2 + depth)
     return {
         "norm": _init_norm(channels),
         "proj_in": _init_linear(k[0], channels, channels),
         "blocks": [
             _init_btb(
-                k[1],
+                k[2 + i],
                 channels,
                 context_dim,
                 fuser_context=context_dim if gated else None,
             )
+            for i in range(depth)
         ],
-        "proj_out": _init_linear(k[2], channels, channels, scale=1e-5),
+        "proj_out": _init_linear(k[1], channels, channels, scale=1e-5),
     }
 
 

@@ -227,3 +227,15 @@ def test_converted_linear_transpose_semantics():
         {"w": jnp.asarray(p["w"]), "b": jnp.asarray(p["b"])}, jnp.asarray(x.numpy())
     ))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_unet2d_sdxl_convert_roundtrip():
+    from lvd_tpu.models import unet2d as unet2d_mod
+    from tests.test_sdxl_refiner import _tiny_sdxl_cfg
+
+    cfg = _tiny_sdxl_cfg()
+    init = unet2d_mod.init_unet2d(jax.random.PRNGKey(4), cfg)
+    sd = _synthesize(flatten_pytree(jax.device_get(init)), _torch_key_unet)
+    converted = convert.convert_unet2d(sd, cfg)
+    convert.validate_against_init(converted, init, "unet2d-sdxl")
+    _assert_trees_equal(converted, jax.device_get(init))
