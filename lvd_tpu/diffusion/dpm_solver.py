@@ -50,6 +50,12 @@ def init_state(latents_shape, dtype=jnp.float32) -> SolverState:
     return SolverState(prev_x0=jnp.zeros(latents_shape, dtype))
 
 
+def init_state_like(latents) -> SolverState:
+    """Zero state inheriting latents' sharding/varying-axes (required when
+    the solver runs inside shard_map)."""
+    return SolverState(prev_x0=jnp.zeros_like(latents))
+
+
 def make_coeffs(
     cfg: SchedulerConfig,
     num_inference_steps: int = None,

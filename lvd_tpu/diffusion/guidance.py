@@ -252,10 +252,23 @@ def compute_ca_energy(
     pack,  # layout/rasterize.GuidancePack (mask arrays already on device ok)
     guidance_attn_keys: Sequence[Tuple],
     cfg: GuidanceConfig,
+    axis_name: str = None,
 ):
     """Total CA energy over instrumented keys (reference compute_ca_lossv3):
-    sum of per-key losses normalized by (num_objects * num_keys)."""
+    sum of per-key losses normalized by (num_objects * num_keys).
+
+    ``axis_name``: set when frames are sharded over a mesh axis (shard_map):
+    per-frame contributions psum into the global energy. The frame-coupled
+    loss terms (attn-sync, center-of-mass velocity) are not supported
+    sharded."""
     keys = [tuple(k) for k in guidance_attn_keys]
+    if axis_name is not None and (
+        cfg.attn_sync_weight != 0.0 or cfg.com_loss_scale != 0.0
+    ):
+        raise NotImplementedError(
+            "frame-coupled guidance terms (attn_sync, com) are not supported "
+            "with frame-sharded sampling yet"
+        )
     num_objects = pack.token_indices.shape[0]  # static under jit
     if num_objects == 0 or not keys:
         return jnp.float32(0.0)
@@ -270,4 +283,6 @@ def compute_ca_energy(
             jnp.asarray(pack.k_bg[key]),
             cfg,
         )
+    if axis_name is not None:
+        loss = jax.lax.psum(loss, axis_name)
     return loss / (num_objects * len(keys))

@@ -67,7 +67,9 @@ def sample_video(
     guidance_attn_keys: Sequence[Tuple] = (),
     gligen_pair=None,        # dict of (2B*F, M, ...) arrays or None
     num_grounding_steps: int = 0,
-    unet_dtype=None,
+    spmd_axis=None,          # mesh axis when running inside shard_map with
+                             # frames sharded; guidance arrays and gligen
+                             # inputs must then be frame-sharded consistently
 ):
     """Run the full denoising loop; returns final latents.
 
@@ -104,9 +106,11 @@ def sample_video(
                 cond_text,
                 capture_keys=keys,
                 remat=True,
+                spmd_axis=spmd_axis,
             )
             return (
-                compute_ca_energy(aux, guidance, keys, g_cfg) * g_cfg.loss_scale
+                compute_ca_energy(aux, guidance, keys, g_cfg, axis_name=spmd_axis)
+                * g_cfg.loss_scale
             )
 
         def step_fn(carry, c):
@@ -140,6 +144,7 @@ def sample_video(
                 c.timestep,
                 text_pair,
                 gligen=gligen_pair if with_gligen else None,
+                spmd_axis=spmd_axis,
             )
             eps_u, eps_c = eps[:b], eps[b:]
             eps_cfg = eps_u + guidance_scale * (eps_c - eps_u)
@@ -149,7 +154,7 @@ def sample_video(
 
         return step_fn
 
-    state = dpm.init_state(latents.shape, latents.dtype)
+    state = dpm.init_state_like(latents)
     loss = jnp.float32(1e10)  # "always guide on the first step"
     carry = (latents, state, loss)
 

@@ -10,8 +10,6 @@ computes phrase token indices when a tokenizer is given.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 
 from . import align

@@ -12,7 +12,6 @@ import jax
 import jax.numpy as jnp
 
 from ..config import CLIPTextConfig
-from ..ops.attention import sdpa
 from ..ops.basic import layer_norm, linear
 
 

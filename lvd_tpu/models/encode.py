@@ -8,7 +8,7 @@ the video pipeline uses TextToVideoPipeline.encode_prompt directly.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -369,15 +369,47 @@ def _temporal_attention_block(p, y, num_heads, ln_eps: float = 1e-5):
     return y
 
 
-def _temporal_transformer(p, x, num_frames, num_heads, cfg):
+def _a2a_frames_to_pixels(y, axis_name):
+    """(B, F_local, P, C) -> (B, F, P_local_padded, C) over the mesh axis.
+    Returns (transposed, original P) — pixels are zero-padded to divide."""
+    n = jax.lax.axis_size(axis_name)
+    p = y.shape[2]
+    pad = (-p) % n
+    if pad:
+        y = jnp.pad(y, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    y = jax.lax.all_to_all(y, axis_name, split_axis=2, concat_axis=1, tiled=True)
+    return y, p
+
+
+def _a2a_pixels_to_frames(y, axis_name, orig_p):
+    """Inverse of _a2a_frames_to_pixels; drops pixel padding."""
+    y = jax.lax.all_to_all(y, axis_name, split_axis=1, concat_axis=2, tiled=True)
+    return y[:, :, :orig_p]
+
+
+def _temporal_transformer(p, x, num_frames, num_heads, cfg, spmd_axis=None):
+    """Temporal transformer over frames.
+
+    Sharded mode (``spmd_axis``): x carries a frame shard; statistics psum
+    over the axis and an all_to_all re-shards frames->pixels around the
+    attention (Ulysses-style sequence parallelism: the folded pixel dim is
+    the embarrassingly-parallel one during temporal mixing).
+    """
     n, h, w, c = x.shape
     b = n // num_frames
     residual = x
     y = x.reshape(b, num_frames, h * w, c)  # contiguous reshape, no relayout
-    y = group_norm(p["norm"], y, cfg.norm_num_groups, cfg.transformer_norm_eps)
+    y = group_norm(
+        p["norm"], y, cfg.norm_num_groups, cfg.transformer_norm_eps,
+        axis_name=spmd_axis,
+    )
     y = linear(p["proj_in"], y)
+    if spmd_axis is not None:
+        y, orig_p = _a2a_frames_to_pixels(y, spmd_axis)
     for block in p["blocks"]:
         y = _temporal_attention_block(block, y, num_heads)
+    if spmd_axis is not None:
+        y = _a2a_pixels_to_frames(y, spmd_axis, orig_p)
     y = linear(p["proj_out"], y)
     return y.reshape(n, h, w, c) + residual
 
@@ -394,27 +426,56 @@ def _resnet(p, x, temb, cfg):
     return x + h
 
 
-def _temp_conv(p, x, num_frames, cfg):
+def _temp_conv(p, x, num_frames, cfg, spmd_axis=None):
     n, h, w, c = x.shape
     b = n // num_frames
-    y = x.reshape(b, num_frames, h, w, c)
+    if spmd_axis is None:
+        y = x.reshape(b, num_frames, h, w, c)
+        identity = y
+        for name in ("conv1", "conv2", "conv3", "conv4"):
+            blk = p[name]
+            y = group_norm(blk["norm"], y, cfg.norm_num_groups, 1e-5)
+            y = conv3d(blk["conv"], silu(y))
+        return (identity + y).reshape(n, h, w, c)
+
+    # Sharded: frames -> pixels all_to_all; the (3,1,1) kernel is pointwise
+    # in space, so pixels flatten to one axis and shard freely. Statistics
+    # need the exact unpadded count.
+    axis_n = jax.lax.axis_size(spmd_axis)
+    total_frames = num_frames * axis_n
+    y = x.reshape(b, num_frames, h * w, c)
+    y, orig_p = _a2a_frames_to_pixels(y, spmd_axis)  # (b, F, P_loc, c)
     identity = y
+    count = total_frames * h * w * (c // cfg.norm_num_groups)
+    # Padded pixels would contaminate the GroupNorm sums (GN affine and conv
+    # bias make them nonzero); every other op here is pointwise in space, so
+    # masking just before each norm keeps statistics exact.
+    p_loc = y.shape[2]
+    global_idx = jax.lax.axis_index(spmd_axis) * p_loc + jnp.arange(p_loc)
+    valid = (global_idx < orig_p).astype(y.dtype)[None, None, :, None]
     for name in ("conv1", "conv2", "conv3", "conv4"):
         blk = p[name]
-        y = group_norm(blk["norm"], y, cfg.norm_num_groups, 1e-5)
-        y = conv3d(blk["conv"], silu(y))
-    return (identity + y).reshape(n, h, w, c)
+        y = group_norm(
+            blk["norm"], y * valid, cfg.norm_num_groups, 1e-5,
+            axis_name=spmd_axis, count_override=count,
+        )
+        y = conv3d(blk["conv"], silu(y)[:, :, :, None, :])[:, :, :, 0, :]
+    y = identity + y
+    y = _a2a_pixels_to_frames(y, spmd_axis, orig_p)
+    return y.reshape(n, h, w, c)
 
 
 def _cross_attn_layer(p, x, temb, context, num_frames, num_heads, cfg, *,
-                      key, capture_keys, aux, gligen_objs):
+                      key, capture_keys, aux, gligen_objs, spmd_axis=None):
     x = _resnet(p["resnet"], x, temb, cfg)
-    x = _temp_conv(p["temp_conv"], x, num_frames, cfg)
+    x = _temp_conv(p["temp_conv"], x, num_frames, cfg, spmd_axis=spmd_axis)
     x = _spatial_transformer(
         p["attn"], x, context, num_heads, cfg,
         key=key, capture_keys=capture_keys, aux=aux, gligen_objs=gligen_objs,
     )
-    x = _temporal_transformer(p["temp_attn"], x, num_frames, num_heads, cfg)
+    x = _temporal_transformer(
+        p["temp_attn"], x, num_frames, num_heads, cfg, spmd_axis=spmd_axis
+    )
     return x
 
 
@@ -428,6 +489,7 @@ def apply_unet3d(
     gligen=None,
     capture_keys: Sequence[tuple] = (),
     remat: bool = False,
+    spmd_axis=None,
 ):
     """Run the UNet.
 
@@ -444,6 +506,10 @@ def apply_unet3d(
         ("down", 1, 0, 0), whose cross-attention probabilities are returned.
       remat: checkpoint each UNet layer (for differentiating the guidance
         energy under HBM limits).
+      spmd_axis: mesh axis name when called inside shard_map with frames
+        sharded along it (sequence-parallel inference). Temporal modules
+        all_to_all between frame- and pixel-sharding; norms psum their
+        statistics. Incompatible with capture_keys/gligen for now.
 
     Returns:
       (noise_pred (B, F, H, W, C_out), aux dict {key: (B*F, heads, HW, L)}).
@@ -465,7 +531,8 @@ def apply_unet3d(
     x = conv2d(params["conv_in"], x)
 
     x = _temporal_transformer(
-        params["transformer_in"], x, f, cfg.transformer_in_num_heads, cfg
+        params["transformer_in"], x, f, cfg.transformer_in_num_heads, cfg,
+        spmd_axis=spmd_axis,
     )
 
     gligen_objs = None
@@ -487,11 +554,11 @@ def apply_unet3d(
                 y = _cross_attn_layer(
                     lp, x, temb, context, f, num_heads, cfg,
                     key=key, capture_keys=capture_keys, aux=local_aux,
-                    gligen_objs=gligen_objs,
+                    gligen_objs=gligen_objs, spmd_axis=spmd_axis,
                 )
             else:
                 y = _resnet(lp["resnet"], x, temb, cfg)
-                y = _temp_conv(lp["temp_conv"], y, f, cfg)
+                y = _temp_conv(lp["temp_conv"], y, f, cfg, spmd_axis=spmd_axis)
             # Return captured probs as explicit outputs so jax.checkpoint can
             # rematerialize through them.
             return y, tuple(local_aux[k] for k in capture_keys if k in local_aux)
@@ -524,16 +591,18 @@ def apply_unet3d(
     mid = params["mid_block"]
     num_heads = cfg.num_heads(boc[-1])
     x = _resnet(mid["resnet_in"], x, temb, cfg)
-    x = _temp_conv(mid["temp_conv_in"], x, f, cfg)
+    x = _temp_conv(mid["temp_conv_in"], x, f, cfg, spmd_axis=spmd_axis)
     for j, lp in enumerate(mid["layers"]):
         x = _spatial_transformer(
             lp["attn"], x, context, num_heads, cfg,
             key=("mid", 0, j), capture_keys=capture_keys, aux=aux,
             gligen_objs=gligen_objs,
         )
-        x = _temporal_transformer(lp["temp_attn"], x, f, num_heads, cfg)
+        x = _temporal_transformer(
+            lp["temp_attn"], x, f, num_heads, cfg, spmd_axis=spmd_axis
+        )
         x = _resnet(lp["resnet"], x, temb, cfg)
-        x = _temp_conv(lp["temp_conv"], x, f, cfg)
+        x = _temp_conv(lp["temp_conv"], x, f, cfg, spmd_axis=spmd_axis)
 
     # -- up ------------------------------------------------------------------
     rev = list(reversed(boc))

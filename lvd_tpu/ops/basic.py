@@ -56,7 +56,8 @@ def conv3d(p, x, padding=((1, 1), (0, 0), (0, 0))):
     return y
 
 
-def group_norm(p, x, num_groups: int = 32, eps: float = 1e-5):
+def group_norm(p, x, num_groups: int = 32, eps: float = 1e-5,
+               axis_name: str = None, count_override: int = None):
     """GroupNorm over channels-last input of any rank >= 2.
 
     Statistics are computed per (batch, group) over all non-batch axes —
@@ -91,6 +92,16 @@ def group_norm(p, x, num_groups: int = 32, eps: float = 1e-5):
     )
     s1 = s1c @ onehot  # (n, g)
     s2 = s2c @ onehot
+    if axis_name is not None:
+        # Sharded statistics (e.g. frames split across the mesh): reduce the
+        # group sums over the axis; the per-group count scales accordingly.
+        s1 = jax.lax.psum(s1, axis_name)
+        s2 = jax.lax.psum(s2, axis_name)
+        per_group = per_group * jax.lax.axis_size(axis_name)
+    if count_override is not None:
+        # Exact element count when the shard carries zero padding (padded
+        # elements contribute nothing to the sums, only to the count).
+        per_group = count_override
     mean_g = s1 / per_group
     var_g = jnp.maximum(s2 / per_group - mean_g * mean_g, 0.0)
     inv_g = jax.lax.rsqrt(var_g + eps)

@@ -21,9 +21,8 @@ from .config import ModelPreset
 from .diffusion import dpm_solver as dpm
 from .diffusion import sampler as sampler_mod
 from .diffusion.guidance import GuidanceConfig
-from .layout.rasterize import GuidancePack, make_guidance_pack
+from .layout.rasterize import make_guidance_pack
 from .models.clip import apply_clip_text
-from .models.unet3d import apply_unet3d
 from .models.vae import decode as vae_decode
 from .utils.profiling import PhaseTimer, maybe_trace
 
@@ -40,10 +39,14 @@ class PipelineModels:
 
 
 class TextToVideoPipeline:
-    def __init__(self, models: PipelineModels, dtype=jnp.float32):
+    def __init__(self, models: PipelineModels, dtype=jnp.float32, mesh=None):
+        """``mesh``: optional jax Mesh with a "data" axis — unguided/
+        un-grounded sampling then runs frame-sharded (sequence-parallel)
+        across it via shard_map; guided paths fall back to single-device."""
         self.m = models
         self.preset = models.preset
         self.dtype = dtype
+        self.mesh = mesh
         self._cast = lambda tree: jax.tree_util.tree_map(
             lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x,
             tree,
@@ -125,6 +128,12 @@ class TextToVideoPipeline:
     def _sample_fn(self, flags):
         if flags not in self._sample_jit_cache:
             (guided, keys, g_cfg, gligen_on, n_ground, scale, n_steps) = flags
+            # Frame-coupled guidance terms can't shard (energy psum is
+            # per-frame); everything else runs sequence-parallel.
+            shardable = not guided or (
+                g_cfg.attn_sync_weight == 0.0 and g_cfg.com_loss_scale == 0.0
+            )
+            use_mesh = self.mesh is not None and shardable
 
             def fn(unet_params, latents, text_pair, coeffs, guidance, gligen_pair):
                 return sampler_mod.sample_video(
@@ -139,10 +148,72 @@ class TextToVideoPipeline:
                     guidance_attn_keys=keys,
                     gligen_pair=gligen_pair if gligen_on else None,
                     num_grounding_steps=n_ground,
+                    spmd_axis="data" if use_mesh else None,
                 )
 
-            self._sample_jit_cache[flags] = jax.jit(fn)
+            if use_mesh:
+                self._sample_jit_cache[flags] = self._make_sharded_sample(fn, flags)
+            else:
+                self._sample_jit_cache[flags] = jax.jit(fn)
         return self._sample_jit_cache[flags]
+
+    def _make_sharded_sample(self, fn, flags):
+        """shard_map wrapper: frames sharded on the mesh "data" axis; the
+        guidance pack's frame-indexed arrays and GLIGEN inputs shard along."""
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        (guided, keys, *_), gligen_on = flags[:3], flags[3]
+        mesh = self.mesh
+        frame_spec = P(None, "data")
+
+        def inner(up, latents, text_pair, coeffs, guidance, gligen_5d):
+            gligen_pair = None
+            if gligen_5d is not None:
+                # (2B, F_local, ...) -> (2B*F_local, ...)
+                gligen_pair = {
+                    k: v.reshape((-1,) + v.shape[2:]) for k, v in gligen_5d.items()
+                }
+            return fn(up, latents, text_pair, coeffs, guidance, gligen_pair)
+
+        g_spec = None
+        if guided:
+            attn_keys = tuple(tuple(k) for k in keys)
+            g_spec = sampler_mod.GuidanceArrays(
+                masks={k: P(None, "data") for k in attn_keys},
+                token_indices=P(),
+                token_mask=P(),
+                k_fg={k: P(None, "data") for k in attn_keys},
+                k_bg={k: P(None, "data") for k in attn_keys},
+            )
+        gl_spec = None
+        if gligen_on:
+            gl_spec = {
+                "boxes": P(None, "data"),
+                "masks": P(None, "data"),
+                "positive_embeddings": P(None, "data"),
+            }
+
+        sharded = jax.jit(
+            shard_map(
+                inner,
+                mesh=mesh,
+                in_specs=(P(), frame_spec, P(), P(), g_spec, gl_spec),
+                out_specs=frame_spec,
+            )
+        )
+
+        def wrapped(up, latents, text_pair, coeffs, guidance, gligen_pair):
+            gligen_5d = None
+            if gligen_pair is not None:
+                f = latents.shape[1]
+                gligen_5d = {
+                    k: v.reshape((-1, f) + v.shape[1:]) for k, v in gligen_pair.items()
+                }
+            latents = jax.device_put(latents, NamedSharding(mesh, frame_spec))
+            return sharded(up, latents, text_pair, coeffs, guidance, gligen_5d)
+
+        return wrapped
 
     @functools.cached_property
     def _encode_image_jit(self):

@@ -10,7 +10,6 @@ penultimate hidden states plus pooled text / size / crop / aesthetic-score
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,6 @@ from PIL import Image
 from ..layout.condition import parsed_layout_to_condition
 from ..models.loader import load_pipeline_models
 from ..pipeline import TextToVideoPipeline
-from ..text.templates import NEGATIVE_PROMPT
 from ..utils import vis
 
 # Output directory, settable by the CLI (mirrors utils.parse.img_dir).

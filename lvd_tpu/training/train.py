@@ -13,8 +13,7 @@ except fuser/position_net, the way lvd-gligen checkpoints are made).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -127,6 +126,31 @@ class Trainer:
         # Input shardings come from the committed arrays (see shard_batch);
         # GSPMD propagates them through the step.
         return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def save_train_state(path: str, state: TrainState) -> None:
+    """Persist params + optimizer state + step (flax msgpack — handles the
+    optax NamedTuple states). The reference never checkpoints (weights are
+    only loaded, SURVEY.md §5); training here is resumable."""
+    import os
+
+    from flax import serialization
+
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "train_state.msgpack"), "wb") as f:
+        f.write(serialization.to_bytes(jax.device_get(state)))
+
+
+def restore_train_state(path: str, template: TrainState) -> TrainState:
+    """Restore a TrainState saved by save_train_state. ``template`` provides
+    the pytree structure (e.g. a freshly Trainer.init()-ed state)."""
+    import os
+
+    from flax import serialization
+
+    with open(os.path.join(path, "train_state.msgpack"), "rb") as f:
+        restored = serialization.from_bytes(template, f.read())
+    return jax.tree_util.tree_map(jnp.asarray, restored)
 
 
 def shard_batch(mesh, batch):
