@@ -105,3 +105,53 @@ def test_eval_stage_one_cli(tmp_path):
     )
     assert result.returncode == 0, result.stderr[-2000:]
     assert "77.6%" in result.stdout
+
+
+def test_upsample_cli_zsxl(tmp_path):
+    """vid2vid upsampler over a generated run dir (tiny mode)."""
+    from lvd_tpu.utils import vis
+
+    run_dir = tmp_path / "run0" / "0"
+    run_dir.mkdir(parents=True)
+    frames = (np.random.default_rng(0).random((4, 32, 48, 3)) * 255).astype(np.uint8)
+    vis.save_frames(str(run_dir / "video_0"), frames, formats="npz")
+
+    cmd = [
+        sys.executable, "-m", "lvd_tpu.cli.upsample",
+        "--run-dir", str(tmp_path / "run0"),
+        "--method", "zsxl",
+        "--num_inference_steps", "3",
+        "--strength", "0.5",
+        "--prompt-type", "demo",
+        "--save-formats", "gif", "npz",
+    ]
+    result = subprocess.run(
+        cmd, cwd=str(tmp_path), env=_env(), capture_output=True, text=True,
+        timeout=900,
+    )
+    assert result.returncode == 0, result.stdout[-1500:] + result.stderr[-1500:]
+    out = run_dir / "video_0_zsxl.npz"
+    assert out.exists() and (run_dir / "video_0_zsxl.gif").exists()
+    video = np.load(out)["frames"]
+    assert video.shape == (4, 64, 96, 3)  # tiny preset resolution
+
+
+def test_prompt_batch_cli_cache_hit(tmp_path):
+    """Stage-1 driver on a pre-filled cache with layout visualization."""
+    cache = _make_demo_cache(tmp_path)
+    cmd = [
+        sys.executable, "-m", "lvd_tpu.cli.prompt_batch",
+        "--prompt-type", "demo",
+        "--model", "gpt-4-1106-preview",
+        "--template_version", "v0.1",
+        "--cache-path", cache,
+        "--visualize",
+        "--img-dir", str(tmp_path / "imgs"),
+    ]
+    result = subprocess.run(
+        cmd, cwd=str(tmp_path), env=_env(), capture_output=True, text=True,
+        timeout=300,
+    )
+    assert result.returncode == 0, result.stderr[-1500:]
+    assert "Cache hit" in result.stdout
+    assert (tmp_path / "imgs" / "layout_0.gif").exists()
