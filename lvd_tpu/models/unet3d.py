@@ -548,6 +548,13 @@ def apply_unet3d(
     aux: dict = {}
 
     def run_layer(layer_params, x, *, key, with_attn, num_heads):
+        # Remat trades FLOPs for HBM; at the deep levels (channels ==
+        # boc[-1]) activations are small (<=11 MB/tensor at zeroscope
+        # shapes), so saving them outright skips their recompute in the
+        # guidance backward at negligible memory cost.
+        channels = num_heads * cfg.attention_head_dim
+        do_remat = remat and channels < boc[-1]
+
         def fn(lp, x, temb, context):
             local_aux: dict = {}
             if with_attn:
@@ -563,7 +570,7 @@ def apply_unet3d(
             # rematerialize through them.
             return y, tuple(local_aux[k] for k in capture_keys if k in local_aux)
 
-        if remat:
+        if do_remat:
             fn = jax.checkpoint(fn)
         y, captured = fn(layer_params, x, temb, context)
         # Keys captured inside this layer, in capture_keys order (a layer's
