@@ -246,7 +246,9 @@ def test_pipeline_with_mesh_unguided():
     # Same seed without the mesh matches.
     pipe2 = TextToVideoPipeline(tiny_pipeline_models(), dtype=jnp.float32)
     video2 = pipe2("a red ball", num_frames=8, num_inference_steps=3, seed=0)
-    np.testing.assert_allclose(video, video2, rtol=2e-3, atol=2e-3)
+    # decode quantizes to uint8 on device; tiny fp divergence between the
+    # sharded and single-device paths can flip a pixel by one 1/255 step.
+    np.testing.assert_allclose(video, video2, atol=1.5 / 255)
 
 
 def test_pipeline_with_mesh_guided_matches_single_device():
