@@ -59,18 +59,62 @@ class GuidanceConfig:
     smooth_sigma: float = 0.5
 
 
-def _topk_mean_desc(values, k):
+def _topk_mean_desc(values, k, k_max: int = None):
     """Mean of the top-k entries along the last axis, with k a traced
     per-slice integer array broadcastable against values[..., 0].
 
     values: (..., N); k: broadcastable (...,) int. Returns (...,).
+
+    ``k_max``: static upper bound on every entry of k. When it is smaller
+    than N, `lax.top_k` to k_max replaces the full descending sort — cheaper
+    forward (partial selection) and backward (scatter into k_max positions
+    instead of a full-width permutation).
     """
     n = values.shape[-1]
-    sorted_desc = -jnp.sort(-values, axis=-1)
-    ranks = jnp.arange(n, dtype=jnp.int32)
+    k_max = n if k_max is None else min(int(k_max), n)
+    if k_max < n:
+        top = jax.lax.top_k(values, k_max)[0]
+    else:
+        top = -jnp.sort(-values, axis=-1)
+    ranks = jnp.arange(k_max, dtype=jnp.int32)
     kf = k.astype(jnp.float32)[..., None]
     w = (ranks[None] < k[..., None]).astype(jnp.float32) / jnp.maximum(kf, 1.0)
-    return (sorted_desc * w).sum(-1)
+    return (top * w).sum(-1)
+
+
+def _roll_next_frames(x, frame_axis: int, axis_name):
+    """x at frame f+1 along ``frame_axis``. The (meaningless) final-frame
+    slot is filled with a duplicate of the last frame (unsharded) or zeros
+    (sharded, no source shard) — callers must weight it out with
+    `_frame_validity`.
+
+    Sharded (axis_name set, frames split across the mesh axis in order): the
+    cross-shard boundary frame is fetched from the next shard with one
+    `ppermute` — the nearest-neighbour exchange that makes the frame-coupled
+    energy terms (attn-sync, CoM velocity) shardable."""
+    f = x.shape[frame_axis]
+    rest = jax.lax.slice_in_dim(x, 1, f, axis=frame_axis)
+    if axis_name is None:
+        last = jax.lax.slice_in_dim(x, f - 1, f, axis=frame_axis)
+        return jnp.concatenate([rest, last], axis=frame_axis)
+    n = jax.lax.axis_size(axis_name)
+    first = jax.lax.slice_in_dim(x, 0, 1, axis=frame_axis)
+    boundary = jax.lax.ppermute(
+        first, axis_name, [(i + 1, i) for i in range(n - 1)]
+    )
+    return jnp.concatenate([rest, boundary], axis=frame_axis)
+
+
+def _frame_validity(n_f: int, axis_name):
+    """(F_local,) float mask: 1.0 for frames that have a successor, i.e.
+    everything but the *global* last frame."""
+    if axis_name is None:
+        idx = jnp.arange(n_f)
+        total = n_f
+    else:
+        idx = jax.lax.axis_index(axis_name) * n_f + jnp.arange(n_f)
+        total = n_f * jax.lax.axis_size(axis_name)
+    return (idx < total - 1).astype(jnp.float32)
 
 
 def _center_of_mass(x):
@@ -93,8 +137,13 @@ def ca_energy_for_key(
     k_fg,          # (O, F) int32
     k_bg,          # (O, F) int32
     cfg: GuidanceConfig,
+    axis_name: str = None,
 ):
     """CA energy contribution of one instrumented attention layer.
+
+    ``axis_name``: mesh axis when frames are sharded across it (shard_map);
+    the frame-coupled terms then exchange their one boundary frame with a
+    nearest-neighbour ppermute.
 
     Returns the scalar sum over objects of per-object losses, each already
     divided by the object's (valid) token count — matching
@@ -124,6 +173,12 @@ def ca_energy_for_key(
 
     obj_loss = jnp.zeros((n_obj, n_p, n_f), jnp.float32)
 
+    # Static top-k bounds: host-side k values are int(area * top_p) with
+    # area <= HW (rasterize.make_guidance_pack), so int(HW * top_p) + 1
+    # bounds every traced k. lax.top_k to this bound replaces a full sort.
+    kf_max = int(hw * cfg.fg_top_p) + 1
+    kb_max = int(hw * cfg.bg_top_p) + 1
+
     if cfg.use_ratio_based_loss:
         inside = (a * m).sum(-1)                  # (O, P, F, h)
         ratio = inside / (a.sum(-1) + cfg.eps)
@@ -131,8 +186,8 @@ def ca_energy_for_key(
     elif cfg.use_max_based_loss:
         kf = jnp.broadcast_to(k_fg[:, None, :, None], a.shape[:-1])
         kb = jnp.broadcast_to(k_bg[:, None, :, None], a.shape[:-1])
-        fg_mean = _topk_mean_desc(a * m, kf)          # (O, P, F, h)
-        bg_mean = _topk_mean_desc(a * (1.0 - m), kb)
+        fg_mean = _topk_mean_desc(a * m, kf, kf_max)          # (O, P, F, h)
+        bg_mean = _topk_mean_desc(a * (1.0 - m), kb, kb_max)
         obj_loss = obj_loss + cfg.fg_weight * (1.0 - fg_mean).sum(-1)
         obj_loss = obj_loss + cfg.bg_weight * bg_mean.sum(-1)
     else:
@@ -140,8 +195,8 @@ def ca_energy_for_key(
         a_c = jnp.clip(a, cfg.eps, 1.0 - cfg.eps)
         kf = jnp.broadcast_to(k_fg[:, None, :, None], a.shape[:-1])
         kb = jnp.broadcast_to(k_bg[:, None, :, None], a.shape[:-1])
-        fg = _topk_mean_via_log(a_c * m, kf, cfg.eps)
-        bg_mean = _topk_mean_desc(a_c * (1.0 - m), kb)
+        fg = _topk_mean_via_log(a_c * m, kf, cfg.eps, kf_max)
+        bg_mean = _topk_mean_desc(a_c * (1.0 - m), kb, kb_max)
         obj_loss = obj_loss + cfg.fg_weight * fg.sum(-1)
         obj_loss = obj_loss + cfg.bg_weight * (-jnp.log(1.0 - bg_mean)).sum(-1)
 
@@ -149,13 +204,14 @@ def ca_energy_for_key(
     # (utils/guidance.py:401-430): masked MSE between frame f and f+1 maps
     # over frame-f's box, averaged over box area.
     if cfg.attn_sync_weight != 0.0:
-        a_next = jnp.concatenate([a[:, :, 1:], a[:, :, -1:]], axis=2)
+        a_next = _roll_next_frames(a, 2, axis_name)
         area = m.sum(-1) + 1e-6                  # (O, 1, F, 1)
         sync = (((a - a_next) ** 2) * m).sum(-1) / area
         sync = sync.sum(-1)                      # sum over heads -> (O, P, F)
-        # last frame has no successor
-        frame_w = jnp.ones((n_f,), jnp.float32).at[-1].set(0.0)
-        obj_loss = obj_loss + cfg.attn_sync_weight * sync * frame_w
+        # the (globally) last frame has no successor
+        obj_loss = obj_loss + cfg.attn_sync_weight * sync * _frame_validity(
+            n_f, axis_name
+        )
 
     if cfg.boxdiff_loss_scale > 0.0 or cfg.com_loss_scale > 0.0:
         a2d = a.reshape(n_obj, n_p, n_f, n_heads, hk, wk)
@@ -189,14 +245,18 @@ def ca_energy_for_key(
         pos = pos.mean(-1) * present[:, None, :]
         obj_loss = obj_loss + cfg.com_loss_scale * pos
 
-        # velocity: difference of CoMs between consecutive frames
-        nxt = lambda x: jnp.concatenate([x[..., 1:, :], x[..., -1:, :]], axis=-2)
-        nxt_m = lambda x: jnp.concatenate([x[:, 1:], x[:, -1:]], axis=1)
+        # velocity: difference of CoMs between consecutive frames; the CoM
+        # values are tiny (O, P, F, h) tensors, so the cross-shard exchange
+        # moves a few hundred bytes, not attention maps.
+        nxt = lambda x: _roll_next_frames(x, 2, axis_name)   # (O, P, F, h)
+        nxt_m = lambda x: _roll_next_frames(x, 1, axis_name)  # (O, F)
         v_a_h = nxt(com_a_h) - com_a_h
         v_a_w = nxt(com_a_w) - com_a_w
         v_m_h = nxt_m(com_m_h) - com_m_h
         v_m_w = nxt_m(com_m_w) - com_m_w
-        both = present * nxt_m(present)
+        # valid only when this frame and its successor are both present and a
+        # successor exists globally (zeroed boundary slots never contribute)
+        both = present * nxt_m(present) * _frame_validity(n_f, axis_name)
         vel = (v_a_h - v_m_h[:, None, :, None]) ** 2 + (
             v_a_w - v_m_w[:, None, :, None]
         ) ** 2
@@ -210,15 +270,19 @@ def ca_energy_for_key(
     return (per_obj / counts).sum()
 
 
-def _topk_mean_via_log(values, k, eps):
+def _topk_mean_via_log(values, k, eps, k_max: int = None):
     """-log of top-k values, meaned: used by the CE variant."""
     n = values.shape[-1]
-    sorted_desc = -jnp.sort(-values, axis=-1)
-    ranks = jnp.arange(n, dtype=jnp.int32)
+    k_max = n if k_max is None else min(int(k_max), n)
+    if k_max < n:
+        top = jax.lax.top_k(values, k_max)[0]
+    else:
+        top = -jnp.sort(-values, axis=-1)
+    ranks = jnp.arange(k_max, dtype=jnp.int32)
     w = (ranks[None] < k[..., None]).astype(jnp.float32) / jnp.maximum(
         k.astype(jnp.float32)[..., None], 1.0
     )
-    return (-jnp.log(jnp.clip(sorted_desc, eps, None)) * w).sum(-1)
+    return (-jnp.log(jnp.clip(top, eps, None)) * w).sum(-1)
 
 
 def _corner_bands(masks, band: int = 1):
@@ -258,17 +322,10 @@ def compute_ca_energy(
     sum of per-key losses normalized by (num_objects * num_keys).
 
     ``axis_name``: set when frames are sharded over a mesh axis (shard_map):
-    per-frame contributions psum into the global energy. The frame-coupled
-    loss terms (attn-sync, center-of-mass velocity) are not supported
-    sharded."""
+    per-frame contributions psum into the global energy, and the
+    frame-coupled loss terms (attn-sync, center-of-mass velocity) exchange
+    their single boundary frame with a nearest-neighbour ppermute."""
     keys = [tuple(k) for k in guidance_attn_keys]
-    if axis_name is not None and (
-        cfg.attn_sync_weight != 0.0 or cfg.com_loss_scale != 0.0
-    ):
-        raise NotImplementedError(
-            "frame-coupled guidance terms (attn_sync, com) are not supported "
-            "with frame-sharded sampling yet"
-        )
     num_objects = pack.token_indices.shape[0]  # static under jit
     if num_objects == 0 or not keys:
         return jnp.float32(0.0)
@@ -282,6 +339,7 @@ def compute_ca_energy(
             jnp.asarray(pack.k_fg[key]),
             jnp.asarray(pack.k_bg[key]),
             cfg,
+            axis_name=axis_name,
         )
     if axis_name is not None:
         loss = jax.lax.psum(loss, axis_name)

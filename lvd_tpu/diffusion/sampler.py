@@ -55,6 +55,16 @@ def _slice_coeffs(coeffs: dpm.SolverCoeffs, start: int, end: int):
     return dpm.SolverCoeffs(*[a[start:end] for a in coeffs])
 
 
+def segment_boundaries(n_steps: int, guidance_end: int, gligen_end: int):
+    """Static scan-segment boundaries: the denoise loop splits where the
+    active mechanism set changes (guidance stops at ``guidance_end``
+    = min(max_index_step, T); the GLIGEN fuser stops at ``gligen_end``
+    = min(beta * T, T)), so each lax.scan segment compiles exactly the work
+    it performs (reference keeps one Python loop with per-step conditionals,
+    controllable_pipeline:816-839, 881-892)."""
+    return sorted({0, guidance_end, gligen_end, n_steps})
+
+
 def sample_video(
     unet_params,
     unet_cfg,
@@ -84,7 +94,7 @@ def sample_video(
     g_end = min(g_cfg.max_index_step, n_steps) if guidance is not None else 0
     gl_end = min(num_grounding_steps, n_steps) if gligen_pair is not None else 0
 
-    boundaries = sorted({0, g_end, gl_end, n_steps})
+    boundaries = segment_boundaries(n_steps, g_end, gl_end)
     segments = [
         (boundaries[i], boundaries[i + 1]) for i in range(len(boundaries) - 1)
     ]

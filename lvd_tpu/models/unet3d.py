@@ -204,7 +204,20 @@ def init_unet3d(rng, cfg: UNet3DConfig):
 def _init_unet3d_jit(rng, cfg: UNet3DConfig):
     boc = cfg.block_out_channels
     gated = cfg.attention_type == "gated"
-    keys = iter(jax.random.split(rng, 256))
+
+    # Unbounded key stream (fold_in a counter) — a fixed-size split would
+    # silently exhaust into StopIteration at trace time for deeper configs.
+    counter = [0]
+
+    def _next_key():
+        counter[0] += 1
+        return jax.random.fold_in(rng, counter[0])
+
+    class _Keys:
+        def __next__(self):
+            return _next_key()
+
+    keys = _Keys()
 
     params: dict = {
         "conv_in": _init_conv(next(keys), 3, 3, cfg.in_channels, boc[0]),
@@ -426,6 +439,27 @@ def _resnet(p, x, temb, cfg):
     return x + h
 
 
+def _halo_conv3d_frames(conv_params, y, axis_name):
+    """(3,1,1) temporal conv on frame-sharded (B, F_local, P, C) input via a
+    one-frame halo exchange: each shard ppermutes its boundary frame to the
+    neighbour instead of resharding the whole activation (the all_to_all this
+    replaces moved every element twice per temp-conv). Shards at the global
+    edges receive ppermute's zero fill — exactly the conv's SAME padding."""
+    n = jax.lax.axis_size(axis_name)
+    prev = jax.lax.ppermute(
+        y[:, -1:], axis_name, [(i, i + 1) for i in range(n - 1)]
+    )
+    nxt = jax.lax.ppermute(
+        y[:, :1], axis_name, [(i + 1, i) for i in range(n - 1)]
+    )
+    ext = jnp.concatenate([prev, y, nxt], axis=1)  # (B, F_local + 2, P, C)
+    out = conv3d(
+        conv_params, ext[:, :, :, None, :],
+        padding=((0, 0), (0, 0), (0, 0)),
+    )
+    return out[:, :, :, 0, :]
+
+
 def _temp_conv(p, x, num_frames, cfg, spmd_axis=None):
     n, h, w, c = x.shape
     b = n // num_frames
@@ -438,31 +472,17 @@ def _temp_conv(p, x, num_frames, cfg, spmd_axis=None):
             y = conv3d(blk["conv"], silu(y))
         return (identity + y).reshape(n, h, w, c)
 
-    # Sharded: frames -> pixels all_to_all; the (3,1,1) kernel is pointwise
-    # in space, so pixels flatten to one axis and shard freely. Statistics
-    # need the exact unpadded count.
-    axis_n = jax.lax.axis_size(spmd_axis)
-    total_frames = num_frames * axis_n
+    # Sharded: frames stay local (the (3,1,1) kernel only needs one halo
+    # frame per side per conv); GroupNorm statistics psum over the axis.
     y = x.reshape(b, num_frames, h * w, c)
-    y, orig_p = _a2a_frames_to_pixels(y, spmd_axis)  # (b, F, P_loc, c)
     identity = y
-    count = total_frames * h * w * (c // cfg.norm_num_groups)
-    # Padded pixels would contaminate the GroupNorm sums (GN affine and conv
-    # bias make them nonzero); every other op here is pointwise in space, so
-    # masking just before each norm keeps statistics exact.
-    p_loc = y.shape[2]
-    global_idx = jax.lax.axis_index(spmd_axis) * p_loc + jnp.arange(p_loc)
-    valid = (global_idx < orig_p).astype(y.dtype)[None, None, :, None]
     for name in ("conv1", "conv2", "conv3", "conv4"):
         blk = p[name]
         y = group_norm(
-            blk["norm"], y * valid, cfg.norm_num_groups, 1e-5,
-            axis_name=spmd_axis, count_override=count,
+            blk["norm"], y, cfg.norm_num_groups, 1e-5, axis_name=spmd_axis
         )
-        y = conv3d(blk["conv"], silu(y)[:, :, :, None, :])[:, :, :, 0, :]
-    y = identity + y
-    y = _a2a_pixels_to_frames(y, spmd_axis, orig_p)
-    return y.reshape(n, h, w, c)
+        y = _halo_conv3d_frames(blk["conv"], silu(y), spmd_axis)
+    return (identity + y).reshape(n, h, w, c)
 
 
 def _cross_attn_layer(p, x, temb, context, num_frames, num_heads, cfg, *,
@@ -509,7 +529,10 @@ def apply_unet3d(
       spmd_axis: mesh axis name when called inside shard_map with frames
         sharded along it (sequence-parallel inference). Temporal modules
         all_to_all between frame- and pixel-sharding; norms psum their
-        statistics. Incompatible with capture_keys/gligen for now.
+        statistics. Compatible with capture_keys (each shard returns the
+        probs of its local frames) and with gligen (whose (B*F_local, ...)
+        inputs must be frame-sharded consistently) — see
+        pipeline._make_sharded_sample and tests/test_parallel.py.
 
     Returns:
       (noise_pred (B, F, H, W, C_out), aux dict {key: (B*F, heads, HW, L)}).

@@ -128,12 +128,10 @@ class TextToVideoPipeline:
     def _sample_fn(self, flags):
         if flags not in self._sample_jit_cache:
             (guided, keys, g_cfg, gligen_on, n_ground, scale, n_steps) = flags
-            # Frame-coupled guidance terms can't shard (energy psum is
-            # per-frame); everything else runs sequence-parallel.
-            shardable = not guided or (
-                g_cfg.attn_sync_weight == 0.0 and g_cfg.com_loss_scale == 0.0
-            )
-            use_mesh = self.mesh is not None and shardable
+            # All guidance variants shard: per-frame energy terms psum, and
+            # the frame-coupled ones (attn-sync, CoM velocity) exchange their
+            # boundary frame via ppermute (diffusion/guidance.py).
+            use_mesh = self.mesh is not None
 
             def fn(unet_params, latents, text_pair, coeffs, guidance, gligen_pair):
                 return sampler_mod.sample_video(

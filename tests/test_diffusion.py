@@ -148,6 +148,28 @@ def test_ca_energy_max_loss_behaviour():
     assert bool(jnp.all(jnp.isfinite(g)))
 
 
+def test_topk_mean_static_bound_matches_full_sort():
+    """The lax.top_k fast path (static k_max bound) must reproduce the
+    full-sort formulation exactly, values and gradients."""
+    from lvd_tpu.diffusion.guidance import _topk_mean_desc, _topk_mean_via_log
+
+    rng = np.random.default_rng(3)
+    vals = jnp.asarray(rng.random((2, 5, 64)).astype(np.float32))
+    k = jnp.asarray(rng.integers(1, 17, size=(2, 5)).astype(np.int32))
+
+    full = _topk_mean_desc(vals, k)            # sort path (k_max=None)
+    fast = _topk_mean_desc(vals, k, k_max=16)  # top_k path
+    np.testing.assert_allclose(np.asarray(full), np.asarray(fast), rtol=1e-6)
+
+    g_full = jax.grad(lambda v: _topk_mean_desc(v, k).sum())(vals)
+    g_fast = jax.grad(lambda v: _topk_mean_desc(v, k, k_max=16).sum())(vals)
+    np.testing.assert_allclose(np.asarray(g_full), np.asarray(g_fast), atol=1e-6)
+
+    full_log = _topk_mean_via_log(vals, k, 1e-2)
+    fast_log = _topk_mean_via_log(vals, k, 1e-2, k_max=16)
+    np.testing.assert_allclose(np.asarray(full_log), np.asarray(fast_log), rtol=1e-6)
+
+
 def test_ca_energy_variants_finite():
     pack, attn, keys = _toy_pack_and_attn()
     key = keys[0]

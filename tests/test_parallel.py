@@ -260,9 +260,34 @@ def test_pipeline_with_mesh_guided_matches_single_device():
 
     g_cfg = GuidanceConfig(max_index_step=2, max_iter=1, loss_scale=2.0,
                            loss_threshold=1e-6)
+    _assert_guided_mesh_matches(g_cfg)
+
+
+def test_pipeline_with_mesh_guided_frame_coupled_terms():
+    """The published benchmark protocol runs ModelScope with
+    com_loss_scale=0.03 (reference README.md:139-148); attn-sync is the other
+    frame-coupled energy term. Both must shard (boundary-frame ppermute) and
+    reproduce the single-device result."""
+    from lvd_tpu.diffusion.guidance import GuidanceConfig
+
+    g_cfg = GuidanceConfig(
+        max_index_step=2, max_iter=1, loss_scale=2.0, loss_threshold=1e-6,
+        com_loss_scale=0.03, attn_sync_weight=0.1,
+    )
+    _assert_guided_mesh_matches(g_cfg)
+
+
+def _assert_guided_mesh_matches(g_cfg):
+    from lvd_tpu.models.loader import tiny_pipeline_models
+    from lvd_tpu.pipeline import TextToVideoPipeline
     bg = {
-        "boxes": [[[0.1, 0.1, 0.5, 0.6]] * 8],
-        "object_positions": [[2]],
+        # one moving object (nonzero CoM target velocity) and one that
+        # appears mid-video exactly at a shard boundary (presence handoff)
+        "boxes": [
+            [[0.05 + 0.05 * f, 0.1, 0.35 + 0.05 * f, 0.6] for f in range(8)],
+            [[0.0, 0.0, 0.0, 0.0]] * 4 + [[0.5, 0.5, 0.9, 0.9]] * 4,
+        ],
+        "object_positions": [[2], [3]],
         "config": g_cfg,
         "attn_keys": (("down", 1, 0, 0), ("up", 1, 0, 0)),
     }
