@@ -456,6 +456,124 @@ def convert_vae(sd: Dict, cfg: VAEConfig) -> dict:
 # -- validation & IO ------------------------------------------------------------
 
 
+# Buffers some checkpoints serialize that carry no weights.
+_IGNORABLE_KEY_SUFFIXES = ("position_ids",)
+
+
+class RecordingStateDict(dict):
+    """State dict recording which keys a converter consumed, so silent drops
+    of source tensors (the dangerous wrong-key failure mode) are detectable."""
+
+    def __init__(self, data):
+        super().__init__(data)
+        self.used: set = set()
+
+    def __getitem__(self, k):
+        self.used.add(k)
+        return super().__getitem__(k)
+
+
+def verify_conversion(sd: "RecordingStateDict", converted, name: str,
+                      verbose: bool = False) -> None:
+    """Audit a finished conversion: every source tensor must have been
+    consumed (modulo known no-weight buffers), and the total L2 mass must be
+    conserved by the layout transposes. With ``verbose``, prints a
+    per-tensor norm table for eyeball comparison against the torch side —
+    the `--verify` runbook mode (see RUNBOOK.md)."""
+    from .loader import flatten_pytree
+
+    unconsumed = sorted(
+        k for k in set(sd) - sd.used
+        if not k.endswith(_IGNORABLE_KEY_SUFFIXES)
+    )
+    flat = flatten_pytree(converted)
+    if verbose:
+        print(f"[verify:{name}] per-tensor norms (converted pytree):")
+        for k in sorted(flat):
+            arr = np.asarray(flat[k], np.float64)
+            print(f"  {k:<90s} {str(arr.shape):<22s} "
+                  f"norm={np.linalg.norm(arr):.6e}")
+    src_sq = sum(
+        float((np.asarray(dict.__getitem__(sd, k), np.float64) ** 2).sum())
+        for k in sd.used
+    )
+    dst_sq = sum(float((np.asarray(v, np.float64) ** 2).sum()) for v in flat.values())
+    print(
+        f"[verify:{name}] {len(sd)} source tensors, {len(sd.used)} consumed, "
+        f"{len(flat)} emitted; sum|w|^2 src={src_sq:.6e} dst={dst_sq:.6e}"
+    )
+    if unconsumed:
+        msg = (
+            f"{name}: {len(unconsumed)} source tensors were NOT consumed by "
+            f"the converter (first 10): {unconsumed[:10]}"
+        )
+        raise ValueError(msg)
+    if not np.isclose(src_sq, dst_sq, rtol=1e-6):
+        raise ValueError(
+            f"{name}: weight mass not conserved: src {src_sq!r} != dst {dst_sq!r}"
+        )
+
+
+def check_sdxl_unet_config(hf: dict, cfg) -> None:
+    """Field-by-field comparison of a real HF unet/config.json against the
+    layout constants our sdxl_refiner_config assumes
+    (reference scripts/upsample.py:160-177 loads this checkpoint directly).
+
+    Raises with every mismatch listed — `--sdxl-refiner` conversion must not
+    silently proceed with wrong constants."""
+    problems = []
+
+    def want(field, expected):
+        if field in hf and hf[field] != expected:
+            problems.append(f"{field}: config.json {hf[field]!r} != ours {expected!r}")
+
+    want("in_channels", cfg.in_channels)
+    want("out_channels", cfg.out_channels)
+    want("block_out_channels", list(cfg.block_out_channels))
+    want("layers_per_block", cfg.layers_per_block)
+    want("cross_attention_dim", cfg.cross_attention_dim)
+    want("norm_num_groups", cfg.norm_num_groups)
+    want("addition_embed_type", cfg.addition_embed_type)
+    want("addition_time_embed_dim", cfg.addition_time_embed_dim)
+    want(
+        "projection_class_embeddings_input_dim",
+        cfg.projection_class_embeddings_input_dim,
+    )
+    # diffusers quirk: when num_attention_heads is absent, attention_head_dim
+    # actually carries the per-block *head count*.
+    heads = hf.get("num_attention_heads") or hf.get("attention_head_dim")
+    if heads is not None:
+        heads = list(heads) if isinstance(heads, (list, tuple)) else [
+            heads
+        ] * len(cfg.block_out_channels)
+        if heads != list(cfg.num_heads):
+            problems.append(
+                f"attention heads: config.json {heads!r} != ours {list(cfg.num_heads)!r}"
+            )
+    if "down_block_types" in hf:
+        has_attn = [t.startswith("CrossAttn") for t in hf["down_block_types"]]
+        if has_attn != list(cfg.down_block_has_attn):
+            problems.append(
+                f"down_block_types attention placement {has_attn!r} != "
+                f"ours {list(cfg.down_block_has_attn)!r}"
+            )
+    if "transformer_layers_per_block" in hf:
+        t = hf["transformer_layers_per_block"]
+        t = list(t) if isinstance(t, (list, tuple)) else [
+            t if a else 0 for a in cfg.down_block_has_attn
+        ]
+        if t != list(cfg.transformer_depth):
+            problems.append(
+                f"transformer_layers_per_block {t!r} != ours "
+                f"{list(cfg.transformer_depth)!r}"
+            )
+    if problems:
+        raise ValueError(
+            "SDXL refiner unet/config.json does not match sdxl_refiner_config:\n  "
+            + "\n  ".join(problems)
+        )
+
+
 def validate_against_init(converted, init_params, name: str):
     """Tree structure + leaf shapes must match the random-init pytree."""
     from .loader import flatten_pytree
@@ -518,7 +636,8 @@ def _find_weights(dirpath: str) -> Optional[str]:
     return None
 
 
-def convert_sdxl_refiner(src: str, dst: str, validate: bool = True):
+def convert_sdxl_refiner(src: str, dst: str, validate: bool = True,
+                         verify: bool = False):
     """Convert an SDXL-refiner checkpoint (unet + text_encoder_2 + vae)."""
     import jax
 
@@ -530,8 +649,15 @@ def convert_sdxl_refiner(src: str, dst: str, validate: bool = True):
     os.makedirs(dst, exist_ok=True)
 
     unet_cfg = unet2d_mod.sdxl_refiner_config()
-    sd = load_torch_state_dict(_find_weights(os.path.join(src, "unet")))
+    unet_cfg_path = os.path.join(src, "unet", "config.json")
+    if os.path.exists(unet_cfg_path):
+        check_sdxl_unet_config(json.load(open(unet_cfg_path)), unet_cfg)
+        print("unet/config.json matches sdxl_refiner_config")
+    sd = RecordingStateDict(
+        load_torch_state_dict(_find_weights(os.path.join(src, "unet")))
+    )
     unet = convert_unet2d(sd, unet_cfg)
+    verify_conversion(sd, unet, "sdxl-unet", verbose=verify)
     if validate:
         validate_against_init(
             unet, unet2d_mod.init_unet2d(jax.random.PRNGKey(0), unet_cfg), "sdxl-unet"
@@ -545,8 +671,9 @@ def convert_sdxl_refiner(src: str, dst: str, validate: bool = True):
     te_dir = os.path.join(src, "text_encoder_2")
     if not os.path.isdir(te_dir):
         te_dir = os.path.join(src, "text_encoder")
-    sd = load_torch_state_dict(_find_weights(te_dir))
+    sd = RecordingStateDict(load_torch_state_dict(_find_weights(te_dir)))
     clip = convert_clip_text(sd, clip_cfg)
+    verify_conversion(sd, clip, "sdxl-clip", verbose=verify)
     if validate:
         validate_against_init(
             clip,
@@ -555,8 +682,11 @@ def convert_sdxl_refiner(src: str, dst: str, validate: bool = True):
         )
     save_params(os.path.join(dst, "clip.npz"), clip)
 
-    sd = load_torch_state_dict(_find_weights(os.path.join(src, "vae")))
+    sd = RecordingStateDict(
+        load_torch_state_dict(_find_weights(os.path.join(src, "vae")))
+    )
     vae = convert_vae(sd, VAEConfig(scaling_factor=0.13025))
+    verify_conversion(sd, vae, "sdxl-vae", verbose=verify)
     if validate:
         validate_against_init(
             vae, vae_mod.init_vae(jax.random.PRNGKey(0), VAEConfig()), "sdxl-vae"
@@ -574,7 +704,8 @@ def convert_sdxl_refiner(src: str, dst: str, validate: bool = True):
     print(f"SDXL refiner converted to {dst}")
 
 
-def convert_checkpoint(src: str, dst: str, gated: bool = False, validate: bool = True):
+def convert_checkpoint(src: str, dst: str, gated: bool = False,
+                       validate: bool = True, verify: bool = False):
     """Convert a full HF text-to-video checkpoint directory."""
     import jax
 
@@ -604,8 +735,11 @@ def convert_checkpoint(src: str, dst: str, gated: bool = False, validate: bool =
             if (gated or hf.get("attention_type") == "gated")
             else "default",
         )
-    sd = load_torch_state_dict(_find_weights(os.path.join(src, "unet")))
+    sd = RecordingStateDict(
+        load_torch_state_dict(_find_weights(os.path.join(src, "unet")))
+    )
     unet = convert_unet3d(sd, unet_cfg)
+    verify_conversion(sd, unet, "unet", verbose=verify)
     if validate:
         validate_against_init(
             unet, unet_mod.init_unet3d(jax.random.PRNGKey(0), unet_cfg), "unet"
@@ -626,8 +760,11 @@ def convert_checkpoint(src: str, dst: str, gated: bool = False, validate: bool =
             num_attention_heads=hf.get("num_attention_heads", 16),
             hidden_act=hf.get("hidden_act", "gelu"),
         )
-    sd = load_torch_state_dict(_find_weights(os.path.join(src, "text_encoder")))
+    sd = RecordingStateDict(
+        load_torch_state_dict(_find_weights(os.path.join(src, "text_encoder")))
+    )
     clip = convert_clip_text(sd, clip_cfg)
+    verify_conversion(sd, clip, "clip", verbose=verify)
     if validate:
         validate_against_init(
             clip, clip_mod.init_clip_text(jax.random.PRNGKey(0), clip_cfg), "clip"
@@ -637,8 +774,11 @@ def convert_checkpoint(src: str, dst: str, gated: bool = False, validate: bool =
 
     # VAE
     vae_cfg = VAEConfig()
-    sd = load_torch_state_dict(_find_weights(os.path.join(src, "vae")))
+    sd = RecordingStateDict(
+        load_torch_state_dict(_find_weights(os.path.join(src, "vae")))
+    )
     vae = convert_vae(sd, vae_cfg)
+    verify_conversion(sd, vae, "vae", verbose=verify)
     if validate:
         validate_against_init(
             vae, vae_mod.init_vae(jax.random.PRNGKey(0), vae_cfg), "vae"
@@ -682,12 +822,18 @@ def main(argv=None):
     p.add_argument("--sdxl-refiner", action="store_true",
                    help="Convert an SDXL refiner instead of a T2V checkpoint")
     p.add_argument("--no-validate", action="store_true")
+    p.add_argument("--verify", action="store_true",
+                   help="Print per-tensor norms of the converted pytree for "
+                        "auditing against the torch state dict (RUNBOOK.md)")
     args = p.parse_args(argv)
     if args.sdxl_refiner:
-        convert_sdxl_refiner(args.src, args.dst, validate=not args.no_validate)
+        convert_sdxl_refiner(
+            args.src, args.dst, validate=not args.no_validate, verify=args.verify
+        )
     else:
         convert_checkpoint(
-            args.src, args.dst, gated=args.gated, validate=not args.no_validate
+            args.src, args.dst, gated=args.gated,
+            validate=not args.no_validate, verify=args.verify,
         )
 
 

@@ -229,6 +229,68 @@ def test_converted_linear_transpose_semantics():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
+def test_verify_conversion_catches_unconsumed_and_mass():
+    """--verify semantics: an unconsumed source tensor or a lost weight must
+    fail loudly (the silent-drop failure mode a wrong key would cause)."""
+    cfg = tiny_clip_config()
+    init = clip_mod.init_clip_text(jax.random.PRNGKey(2), cfg)
+    sd_plain = _synthesize(flatten_pytree(jax.device_get(init)), _torch_key_clip)
+
+    # Clean conversion passes (position_ids buffers are ignorable).
+    sd = convert.RecordingStateDict(
+        dict(sd_plain, **{"text_model.embeddings.position_ids": np.zeros((1, 77))})
+    )
+    converted = convert.convert_clip_text(sd, cfg)
+    convert.verify_conversion(sd, converted, "clip")
+
+    # An extra real tensor the converter never reads -> hard error.
+    sd = convert.RecordingStateDict(
+        dict(sd_plain, **{"text_model.encoder.layers.99.bogus.weight": np.ones((3, 3))})
+    )
+    converted = convert.convert_clip_text(sd, cfg)
+    with pytest.raises(ValueError, match="NOT consumed"):
+        convert.verify_conversion(sd, converted, "clip")
+
+
+def test_check_sdxl_unet_config():
+    from lvd_tpu.models.unet2d import sdxl_refiner_config
+
+    cfg = sdxl_refiner_config()
+    good = {
+        "in_channels": 4,
+        "out_channels": 4,
+        "block_out_channels": [384, 768, 1536, 1536],
+        "layers_per_block": 2,
+        "cross_attention_dim": 1280,
+        "norm_num_groups": 32,
+        "attention_head_dim": [6, 12, 24, 24],
+        "down_block_types": [
+            "DownBlock2D",
+            "CrossAttnDownBlock2D",
+            "CrossAttnDownBlock2D",
+            "DownBlock2D",
+        ],
+        "transformer_layers_per_block": 4,
+        "addition_embed_type": "text_time",
+        "addition_time_embed_dim": 256,
+        "projection_class_embeddings_input_dim": 2560,
+    }
+    convert.check_sdxl_unet_config(good, cfg)  # must not raise
+
+    bad = dict(good, block_out_channels=[320, 640, 1280], cross_attention_dim=2048)
+    with pytest.raises(ValueError) as e:
+        convert.check_sdxl_unet_config(bad, cfg)
+    assert "block_out_channels" in str(e.value)
+    assert "cross_attention_dim" in str(e.value)
+
+    with pytest.raises(ValueError, match="attention heads"):
+        convert.check_sdxl_unet_config(dict(good, attention_head_dim=[5, 10, 20, 20]), cfg)
+    with pytest.raises(ValueError, match="attention placement"):
+        convert.check_sdxl_unet_config(
+            dict(good, down_block_types=["CrossAttnDownBlock2D"] * 4), cfg
+        )
+
+
 def test_unet2d_sdxl_convert_roundtrip():
     from lvd_tpu.models import unet2d as unet2d_mod
     from tests.test_sdxl_refiner import _tiny_sdxl_cfg
