@@ -44,7 +44,15 @@ def _make_demo_cache(tmp_path):
     return str(path)
 
 
-@pytest.mark.parametrize("run_model", ["lvd_modelscope256", "lvd-gligen_modelscope256"])
+@pytest.mark.parametrize(
+    "run_model",
+    [
+        "lvd_modelscope256",
+        "lvd-gligen_modelscope256",
+        "lvd-plus_modelscope256",
+        "modelscope_256",
+    ],
+)
 def test_generate_cli_end_to_end(tmp_path, run_model):
     cache = _make_demo_cache(tmp_path)
     cmd = [
@@ -61,7 +69,13 @@ def test_generate_cli_end_to_end(tmp_path, run_model):
     if run_model.startswith("lvd_"):
         # guidance hyperparameters only apply to the guided runner
         cmd += ["--max_index_step", "2", "--max_iter", "1"]
-    else:
+    elif run_model.startswith("lvd-plus"):
+        # both mechanisms: guidance + scheduled-sampling GLIGEN
+        cmd += [
+            "--max_index_step", "2", "--max_iter", "1",
+            "--gligen_scheduled_sampling_beta", "0.75",
+        ]
+    elif run_model.startswith("lvd-gligen"):
         cmd += ["--gligen_scheduled_sampling_beta", "0.5"]
     result = subprocess.run(
         cmd, cwd=str(tmp_path), env=_env(), capture_output=True, text=True,
