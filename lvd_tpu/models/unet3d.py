@@ -39,6 +39,7 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from ..config import UNet3DConfig
 from ..ops.attention import attention
@@ -316,7 +317,7 @@ def _btb_apply(
     ln_eps: float = 1e-5,
 ):
     h, _ = attention(p["attn1"], layer_norm(p["norm1"], x, ln_eps), None, num_heads)
-    x = x + h
+    x = x + checkpoint_name(h, "attn_out")
     if gligen_objs is not None and "fuser" in p:
         x = apply_gated_self_attention(p["fuser"], x, gligen_objs, num_heads)
     ctx = None if double_self_attention else context
@@ -324,7 +325,7 @@ def _btb_apply(
         p["attn2"], layer_norm(p["norm2"], x, ln_eps), ctx, num_heads,
         return_probs=capture,
     )
-    x = x + h
+    x = x + checkpoint_name(h, "attn_out")
     x = x + feed_forward(p["ff"], layer_norm(p["norm3"], x, ln_eps))
     return x, probs
 
@@ -382,8 +383,10 @@ def _temporal_attention_block(p, y, num_heads, ln_eps: float = 1e-5):
             )
         return linear(pa["to_out"], jnp.concatenate(outs, axis=-1))
 
-    y = y + attn(p["attn1"], layer_norm(p["norm1"], y, ln_eps))
-    y = y + attn(p["attn2"], layer_norm(p["norm2"], y, ln_eps))
+    y = y + checkpoint_name(attn(p["attn1"], layer_norm(p["norm1"], y, ln_eps)),
+                            "attn_out")
+    y = y + checkpoint_name(attn(p["attn2"], layer_norm(p["norm2"], y, ln_eps)),
+                            "attn_out")
     y = y + feed_forward(p["ff"], layer_norm(p["norm3"], y, ln_eps))
     return y
 
@@ -439,11 +442,11 @@ def _temporal_transformer(p, x, num_frames, num_heads, cfg, spmd_axis=None):
 
 def _resnet(p, x, temb, cfg):
     h = group_norm(p["norm1"], x, cfg.norm_num_groups, cfg.norm_eps)
-    h = conv2d(p["conv1"], silu(h))
+    h = checkpoint_name(conv2d(p["conv1"], silu(h)), "conv_out")
     t = linear(p["time_emb_proj"], silu(temb))
     h = h + t[:, None, None, :]
     h = group_norm(p["norm2"], h, cfg.norm_num_groups, cfg.norm_eps)
-    h = conv2d(p["conv2"], silu(h))
+    h = checkpoint_name(conv2d(p["conv2"], silu(h)), "conv_out")
     if "conv_shortcut" in p:
         x = conv2d(p["conv_shortcut"], x, padding=0)
     return x + h
@@ -479,7 +482,7 @@ def _temp_conv(p, x, num_frames, cfg, spmd_axis=None):
         for name in ("conv1", "conv2", "conv3", "conv4"):
             blk = p[name]
             y = group_norm(blk["norm"], y, cfg.norm_num_groups, 1e-5)
-            y = conv3d(blk["conv"], silu(y))
+            y = checkpoint_name(conv3d(blk["conv"], silu(y)), "conv_out")
         return (identity + y).reshape(n, h, w, c)
 
     # Sharded: frames stay local (the (3,1,1) kernel only needs one halo
@@ -584,7 +587,12 @@ def apply_unet3d(
         # Remat trades FLOPs for HBM; at the deep levels (channels ==
         # boc[-1]) activations are small (<=11 MB/tensor at zeroscope
         # shapes), so saving them outright skips their recompute in the
-        # guidance backward at negligible memory cost.
+        # guidance backward at negligible memory cost. Where we do
+        # checkpoint, the MXU-heavy intermediates (attention outputs,
+        # resnet/temp-conv conv outputs) are still saved by name — the
+        # backward replay then recomputes only the cheap elementwise/norm
+        # chains between them instead of re-running every matmul/conv
+        # (VERDICT round-1 lead: "save attention outputs, recompute convs").
         channels = num_heads * cfg.attention_head_dim
         do_remat = remat and channels < boc[-1]
 
@@ -604,7 +612,12 @@ def apply_unet3d(
             return y, tuple(local_aux[k] for k in capture_keys if k in local_aux)
 
         if do_remat:
-            fn = jax.checkpoint(fn)
+            fn = jax.checkpoint(
+                fn,
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "attn_out", "conv_out"
+                ),
+            )
         y, captured = fn(layer_params, x, temb, context)
         # Keys captured inside this layer, in capture_keys order (a layer's
         # spatial transformer owns keys whose first 3 address elements match).

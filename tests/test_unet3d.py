@@ -121,6 +121,27 @@ def test_gligen_gated_unet(tiny):
     assert float(jnp.abs(out_hot - out_n).max()) > 1e-4
 
 
+def test_remat_grad_equivalence(tiny):
+    """The selective remat policy (save attn/conv outputs by name, recompute
+    the elementwise chains) must not change the guidance gradient: remat is a
+    memory/time trade, never a numerics change."""
+    cfg, params = tiny
+    sample, t, text = _inputs(cfg)
+    keys = (("down", 1, 0, 0), ("up", 1, 0, 0))
+
+    def energy(s, remat):
+        _, aux = apply_unet3d(
+            params, cfg, s, t, text, capture_keys=keys, remat=remat
+        )
+        return sum(jnp.sum(a[..., :3].astype(jnp.float32)) for a in aux.values())
+
+    g_remat = jax.jit(jax.grad(lambda s: energy(s, True)))(sample)
+    g_plain = jax.jit(jax.grad(lambda s: energy(s, False)))(sample)
+    np.testing.assert_allclose(
+        np.asarray(g_remat), np.asarray(g_plain), rtol=1e-5, atol=1e-6
+    )
+
+
 def test_batch_and_cfg_pair(tiny):
     """Uncond/cond stacked on the batch axis (CFG) must not cross-talk."""
     cfg, params = tiny
