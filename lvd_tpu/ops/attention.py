@@ -89,9 +89,26 @@ def attention(
     (B, heads, S_q, S_k) in float32.
     """
     context = hidden_states if encoder_hidden_states is None else encoder_hidden_states
-    q = _split_heads(linear(p["to_q"], hidden_states), num_heads)
-    k = _split_heads(linear(p["to_k"], context), num_heads)
-    v = _split_heads(linear(p["to_v"], context), num_heads)
-    out, probs = sdpa(q, k, v, return_probs=return_probs)
+    q = linear(p["to_q"], hidden_states)
+    k = linear(p["to_k"], context)
+    v = linear(p["to_v"], context)
+    if (
+        not return_probs
+        and not _DISABLE_FUSED
+        and k.shape[-2] >= _FUSED_MIN_KEY_LEN
+    ):
+        # Head-packed fused path: q/k/v stay (B, S, H*D) end to end — no
+        # (B*H, S, D) relayouts in HBM around the kernel.
+        from . import pallas_attention
+
+        d = q.shape[-1] // num_heads
+        out = pallas_attention.attention_packed(q, k, v, d ** -0.5, num_heads)
+        return linear(p["to_out"], out), None
+    out, probs = sdpa(
+        _split_heads(q, num_heads),
+        _split_heads(k, num_heads),
+        _split_heads(v, num_heads),
+        return_probs=return_probs,
+    )
     out = _merge_heads(out)
     return linear(p["to_out"], out), probs

@@ -50,6 +50,34 @@ def _attn_kernel(q_ref, k_ref, v_ref, scale_smem, o_ref):
     o_ref[0] = (o / s).astype(o_ref.dtype)
 
 
+def _attn_kernel_heads(q_ref, k_ref, v_ref, scale_smem, o_ref, *, num_heads):
+    # Heads-inside variant: blocks carry the full packed channel dim
+    # (C = H*D) and the per-head 64-wide slices happen in VMEM, so the
+    # caller never pays the (B, S, H*D) -> (B*H, S, D) relayout of
+    # q/k/v/out in HBM (measured 7.8 -> 6.2 ms per L0 spatial attention).
+    c = q_ref.shape[-1]
+    d = c // num_heads
+    scale = scale_smem[0] * _LOG2E
+    for h in range(num_heads):
+        sl = slice(h * d, (h + 1) * d)
+        q = q_ref[0, :, sl]
+        k = k_ref[0, :, sl]
+        v = v_ref[0, :, sl]
+        qs = (q.astype(jnp.float32) * scale).astype(q.dtype)
+        logits = jax.lax.dot_general(
+            qs, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp2(logits - m)
+        s = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, :, sl] = (o / s).astype(o_ref.dtype)
+
+
 def _default_block_q(s_q: int, s_k: int) -> int:
     """Largest query tile whose fp32 logits block fits comfortably in VMEM
     (~9 MB for logits; K/V + double-buffering take the rest of 16 MB)."""
@@ -80,6 +108,41 @@ def _pallas_attention(q, k, v, scale: float, block_q: int = None):
         out_specs=pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bh, s_q, d), q.dtype),
+    )(q, k, v, scale_arr)
+
+
+def _pallas_attention_heads(q, k, v, scale: float, num_heads: int,
+                            block_q: int = None):
+    """q, k, v: (B, S_q, C), (B, S_k, C) with C = num_heads * D packed;
+    returns (B, S_q, C). Mosaic requires the lane-dim block to be 128-aligned
+    or the full array width, so blocks carry all heads and slice in VMEM."""
+    b, s_q, c = q.shape
+    s_k = k.shape[1]
+    if block_q is None:
+        # Measured sweet spot (see PERF.md): the unrolled per-head loop keeps
+        # one fp32 logits tile (4 * block_q * s_k) live per head, and Mosaic's
+        # stack allocator does not always reuse across unrolled iterations —
+        # 256 fits every UNet level; >=384 at L0/L1 shapes exceeds scoped VMEM.
+        block_q = 256
+    block_q = min(block_q, s_q)
+    grid = (b, pl.cdiv(s_q, block_q))
+    scale_arr = jnp.full((1,), scale, jnp.float32)
+
+    return pl.pallas_call(
+        functools.partial(_attn_kernel_heads, num_heads=num_heads),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, c), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_k, c), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_k, c), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, c), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, s_q, c), q.dtype),
     )(q, k, v, scale_arr)
 
 
@@ -134,6 +197,65 @@ def _flash_bwd(scale, res, g):
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+def _heads_chunked(q, k, v, scale: float, num_heads: int):
+    """Chunked SDPA on packed (B, S, C) tensors (backward/fallback path)."""
+    b, s_q, c = q.shape
+    d = c // num_heads
+
+    def to_bh(t):
+        s = t.shape[1]
+        return (
+            t.reshape(b, s, num_heads, d)
+            .transpose(0, 2, 1, 3)
+            .reshape(b * num_heads, s, d)
+        )
+
+    o = _chunked_sdpa(to_bh(q), to_bh(k), to_bh(v), scale)
+    return (
+        o.reshape(b, num_heads, s_q, d)
+        .transpose(0, 2, 1, 3)
+        .reshape(b, s_q, c)
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _flash_heads(q, k, v, scale, num_heads):
+    return _pallas_attention_heads(q, k, v, scale, num_heads)
+
+
+def _flash_heads_fwd(q, k, v, scale, num_heads):
+    return _pallas_attention_heads(q, k, v, scale, num_heads), (q, k, v)
+
+
+def _flash_heads_bwd(scale, num_heads, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(
+        lambda q, k, v: _heads_chunked(q, k, v, scale, num_heads), q, k, v
+    )
+    return vjp(g)
+
+
+_flash_heads.defvjp(_flash_heads_fwd, _flash_heads_bwd)
+
+
+def attention_packed(q, k, v, scale: float, num_heads: int):
+    """Attention on head-packed (B, S, C = H*D) tensors — no (B*H, S, D)
+    relayout in HBM. Pallas kernel on TPU (with a chunked-recompute VJP),
+    chunked JAX attention elsewhere. Always differentiable."""
+    d = q.shape[-1] // num_heads
+    s_k, c = k.shape[1], k.shape[2]
+    pallas_ok = (
+        jax.default_backend() == "tpu"
+        and d % 64 == 0
+        and q.dtype in (jnp.float32, jnp.bfloat16)
+        # full K/V (+ q/o tiles) must fit VMEM comfortably
+        and 2 * s_k * c * q.dtype.itemsize <= 8 * 1024 * 1024
+    )
+    if pallas_ok:
+        return _flash_heads(q, k, v, scale, num_heads)
+    return _heads_chunked(q, k, v, scale, num_heads)
 
 
 def attention_bh(q, k, v, scale: float):

@@ -80,6 +80,56 @@ def test_pallas_kernel_interpret_mode():
     np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=2e-4, atol=2e-5)
 
 
+def test_packed_heads_matches_split(monkeypatch):
+    """attention_packed (head-packed (B, S, C) layout) must equal split-head
+    attention, values and gradients, including the in-kernel head slicing
+    (interpreted Pallas on CPU; the compiled kernel is bit-checked on TPU)."""
+    rng = np.random.default_rng(4)
+    b, s, h, d = 2, 288, 5, 64
+    c = h * d
+    q = jnp.asarray(rng.standard_normal((b, s, c)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, s, c)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, s, c)), jnp.float32)
+    scale = d ** -0.5
+
+    def split(t):
+        return t.reshape(b, s, h, d).transpose(0, 2, 1, 3).reshape(b * h, s, d)
+
+    want = _ref_attention(split(q), split(k), split(v), scale)
+    want = want.reshape(b, h, s, d).transpose(0, 2, 1, 3).reshape(b, s, c)
+
+    got = pa.attention_packed(q, k, v, scale, h)  # chunked fallback on CPU
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5)
+
+    g_p = jax.grad(lambda q: jnp.sum(pa.attention_packed(q, k, v, scale, h) ** 2))(q)
+    g_r = jax.grad(
+        lambda q: jnp.sum(
+            (_ref_attention(split(q), split(k), split(v), scale)) ** 2
+        )
+    )(q)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_r), rtol=5e-4, atol=5e-5)
+
+    # The heads kernel body itself, through the interpreter.
+    import functools
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    out = pl.pallas_call(
+        functools.partial(pa._attn_kernel_heads, num_heads=h),
+        grid=(b, s // 144),
+        in_specs=[
+            pl.BlockSpec((1, 144, c), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, s, c), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, s, c), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 144, c), lambda b, i: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, s, c), q.dtype),
+        interpret=True,
+    )(q, k, v, jnp.full((1,), scale, jnp.float32))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=2e-4, atol=2e-5)
+
+
 def test_sdpa_dispatch_consistency():
     """sdpa with and without the fused path must agree (B, H, S, D layout)."""
     rng = np.random.default_rng(3)
