@@ -56,21 +56,12 @@ def conv3d(p, x, padding=((1, 1), (0, 0), (0, 0))):
     return y
 
 
-def group_norm(p, x, num_groups: int = 32, eps: float = 1e-5,
-               axis_name: str = None, count_override: int = None):
-    """GroupNorm over channels-last input of any rank >= 2.
-
-    Statistics are computed per (batch, group) over all non-batch axes —
-    matching torch.nn.GroupNorm where for input (N, C, *spatial) the
-    normalization covers (C/G, *spatial).
-
-    TPU note: reshaping channels into (G, C/G) puts C/G (e.g. 10) on the
-    lane dimension — a relayout of every activation, twice, per norm.
-    Instead, group sums are taken with a one-hot (C, G) matmul (MXU does the
-    reduction) and the normalization stays in the native (..., C) layout.
-    """
-    orig_dtype = x.dtype
-    orig_shape = x.shape
+def group_norm_coeffs(p, x, num_groups: int = 32, eps: float = 1e-5,
+                      axis_name: str = None, count_override: int = None):
+    """Per-channel affine GroupNorm coefficients (a, b), both (N, C) fp32,
+    such that `y = x * a + b` — the statistics half of `group_norm`, exposed
+    so fused kernels (ops/temp_conv_fused.py) can apply the normalization
+    inside a single activation pass."""
     n = x.shape[0]
     c = x.shape[-1]
     g = num_groups
@@ -114,6 +105,31 @@ def group_norm(p, x, num_groups: int = 32, eps: float = 1e-5,
     mean_c = mean_g @ onehot.T
     a = inv_c * scale[None, :]
     b = bias[None, :] - mean_c * a
+    return a, b
+
+
+def group_norm(p, x, num_groups: int = 32, eps: float = 1e-5,
+               axis_name: str = None, count_override: int = None):
+    """GroupNorm over channels-last input of any rank >= 2.
+
+    Statistics are computed per (batch, group) over all non-batch axes —
+    matching torch.nn.GroupNorm where for input (N, C, *spatial) the
+    normalization covers (C/G, *spatial).
+
+    TPU note: reshaping channels into (G, C/G) puts C/G (e.g. 10) on the
+    lane dimension — a relayout of every activation, twice, per norm.
+    Instead, group sums are taken with a one-hot (C, G) matmul (MXU does the
+    reduction) and the normalization stays in the native (..., C) layout.
+    """
+    orig_dtype = x.dtype
+    orig_shape = x.shape
+    n = x.shape[0]
+    c = x.shape[-1]
+    a, b = group_norm_coeffs(
+        p, x, num_groups, eps, axis_name=axis_name,
+        count_override=count_override,
+    )
+    xr = x.reshape(n, -1, c)
     y = xr.astype(jnp.float32) * a[:, None, :] + b[:, None, :]
     return y.reshape(orig_shape).astype(orig_dtype)
 
@@ -144,7 +160,17 @@ def geglu(p, x):
 
 
 def feed_forward(p, x):
-    """BasicTransformerBlock FF: GEGLU -> Linear (reference models/attention.py:279-328)."""
+    """BasicTransformerBlock FF: GEGLU -> Linear (reference models/attention.py:279-328).
+
+    On TPU the fused Pallas kernel streams the 4x-wide inner activation
+    through VMEM instead of round-tripping it via HBM (ops/geglu_fused.py)."""
+    import os
+
+    if os.environ.get("LVD_DISABLE_FUSED_FF") != "1":
+        from . import geglu_fused
+
+        if geglu_fused.supported(p["proj"]["w"], p["out"]["w"], x):
+            return geglu_fused.geglu_mlp(p, x)
     return linear(p["out"], geglu(p["proj"], x))
 
 
