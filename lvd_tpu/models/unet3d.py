@@ -48,6 +48,7 @@ from ..ops.basic import (
     conv3d,
     feed_forward,
     group_norm,
+    group_norm_coeffs,
     layer_norm,
     linear,
     silu,
@@ -474,9 +475,33 @@ def _halo_conv3d_frames(conv_params, y, axis_name):
 
 
 def _temp_conv(p, x, num_frames, cfg, spmd_axis=None):
+    import os
+
     n, h, w, c = x.shape
     b = n // num_frames
     if spmd_axis is None:
+        from ..ops import temp_conv_fused as tcf
+
+        y4 = x.reshape(b, num_frames, h * w, c)
+        if (
+            os.environ.get("LVD_DISABLE_FUSED_TC") != "1"
+            and tcf.supported(y4)
+        ):
+            # Fused path: GN statistics stay an XLA reduction (one read);
+            # the affine+SiLU+3-tap conv run in one Pallas pass.
+            identity = y4
+            for name in ("conv1", "conv2", "conv3", "conv4"):
+                blk = p[name]
+                a, bc = group_norm_coeffs(
+                    blk["norm"], y4, cfg.norm_num_groups, 1e-5
+                )
+                y4 = checkpoint_name(
+                    tcf.norm_silu_temporal_conv(
+                        y4, a, bc, blk["conv"]["w"], blk["conv"]["b"]
+                    ),
+                    "conv_out",
+                )
+            return (identity + y4).reshape(n, h, w, c)
         y = x.reshape(b, num_frames, h, w, c)
         identity = y
         for name in ("conv1", "conv2", "conv3", "conv4"):

@@ -1,0 +1,128 @@
+"""Fused GroupNorm-apply + SiLU + (3,1,1) temporal conv Pallas kernel (TPU).
+
+Each TemporalConvLayer stage (reference: diffusers TemporalConvLayer, used by
+unet_3d_blocks.py via `temp_convs`) is GroupNorm -> SiLU -> Conv3d((3,1,1)).
+Unfused, the normalized/activated tensor makes a full HBM round-trip between
+the norm and the conv. Here the GroupNorm statistics stay an XLA reduction
+(one read of x; see ops.basic.group_norm_coeffs), and a single kernel pass
+applies the per-channel affine + SiLU and the 3-tap temporal conv: each block
+holds all F frames of a pixel tile, so the frame shifts are VMEM slices and
+the conv is three (F*bp, C) x (C, C) MXU matmuls.
+
+Backward recomputes the unfused formulation (custom VJP), preserving exact
+unfused-gradient semantics for training and the guidance grad.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(x_ref, a_ref, b_ref, w_ref, bias_ref, o_ref):
+    x = x_ref[0]                      # (F, bp, C)
+    f, bp, c = x.shape
+    a = a_ref[0, 0].astype(jnp.float32)  # (C,)
+    b = b_ref[0, 0].astype(jnp.float32)
+    z = x.astype(jnp.float32) * a[None, None, :] + b[None, None, :]
+    z = (z * jax.nn.sigmoid(z)).astype(x.dtype)  # silu
+
+    zero = jnp.zeros((1, bp, c), z.dtype)
+    zprev = jnp.concatenate([zero, z[:-1]], axis=0).reshape(f * bp, c)
+    znext = jnp.concatenate([z[1:], zero], axis=0).reshape(f * bp, c)
+    zf = z.reshape(f * bp, c)
+
+    dn = (((1,), (0,)), ((), ()))
+    acc = jax.lax.dot_general(zprev, w_ref[0], dn,
+                              preferred_element_type=jnp.float32)
+    acc += jax.lax.dot_general(zf, w_ref[1], dn,
+                               preferred_element_type=jnp.float32)
+    acc += jax.lax.dot_general(znext, w_ref[2], dn,
+                               preferred_element_type=jnp.float32)
+    acc += bias_ref[0, 0].astype(jnp.float32)[None, :]
+    o_ref[0] = acc.reshape(f, bp, c).astype(o_ref.dtype)
+
+
+def _fused(x, a, b, w, bias, *, block_p: int = None, interpret: bool = False):
+    """x: (B, F, P, C); a, b: (B, C) fp32; w: (3, C, C); bias: (C,)."""
+    bsz, f, p, c = x.shape
+    if block_p is None:
+        # The kernel keeps z (fp32 + bf16), two frame-shifted copies, and the
+        # fp32 accumulator live per block: ~22 * F * block_p * C bytes. 64/32
+        # keeps that under the 16 MB scoped-VMEM limit at F=24.
+        block_p = 64 if c <= 384 else 32
+    block_p = min(block_p, p)
+    grid = (bsz, pl.cdiv(p, block_p))
+
+    return pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, f, block_p, c), lambda bi, pi: (bi, 0, pi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda bi, pi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda bi, pi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, c, c), lambda bi, pi: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda bi, pi: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, f, block_p, c), lambda bi, pi: (bi, 0, pi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, f, p, c), x.dtype),
+        interpret=interpret,
+    )(x, a[:, None, :], b[:, None, :], w, bias[None, None, :])
+
+
+def _unfused(x, a, b, w, bias):
+    z = x.astype(jnp.float32) * a[:, None, None, :] + b[:, None, None, :]
+    z = (z * jax.nn.sigmoid(z)).astype(x.dtype)
+    y = jax.lax.conv_general_dilated(
+        z[:, :, :, None, :], w[:, None, None].astype(x.dtype),
+        window_strides=(1, 1, 1),
+        padding=((1, 1), (0, 0), (0, 0)),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )[:, :, :, 0, :]
+    return y + bias.astype(x.dtype)
+
+
+@jax.custom_vjp
+def _stage(x, a, b, w, bias):
+    return _fused(x, a, b, w, bias)
+
+
+def _stage_fwd(x, a, b, w, bias):
+    return _fused(x, a, b, w, bias), (x, a, b, w, bias)
+
+
+def _stage_bwd(res, g):
+    _, vjp = jax.vjp(_unfused, *res)
+    return vjp(g)
+
+
+_stage.defvjp(_stage_fwd, _stage_bwd)
+
+
+def supported(x) -> bool:
+    bsz, f, p, c = x.shape
+    return (
+        jax.default_backend() == "tpu"
+        and x.dtype in (jnp.bfloat16, jnp.float32)
+        and c % 8 == 0
+        and c <= 640          # weight block is 3*C*C; keep it VMEM-friendly
+        and f * min(p, 64 if c <= 384 else 32) * c * x.dtype.itemsize
+            <= 4 * 1024 * 1024
+    )
+
+
+def norm_silu_temporal_conv(x, a, b, conv_w, conv_b):
+    """Fused GN-apply + SiLU + (3,1,1) conv on (B, F, P, C); conv_w is the
+    conv3d HWIO-style weight (3, 1, 1, C, C) from the param pytree."""
+    w = conv_w.reshape(3, conv_w.shape[-2], conv_w.shape[-1]).astype(x.dtype)
+    return _stage(x, a, b, w, conv_b.astype(x.dtype))
