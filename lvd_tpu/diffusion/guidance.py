@@ -24,6 +24,7 @@ center-of-mass position+velocity loss.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Dict, Sequence, Tuple
 
 import jax
@@ -59,6 +60,49 @@ class GuidanceConfig:
     smooth_sigma: float = 0.5
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _topk_mean_core(values, kf, k_max: int):
+    top = jax.lax.top_k(values, k_max)[0]
+    ranks = jnp.arange(k_max, dtype=jnp.float32)
+    w = (ranks[None] < kf[..., None]).astype(jnp.float32) / jnp.maximum(
+        kf[..., None], 1.0
+    )
+    return (top * w).sum(-1)
+
+
+def _topk_mean_core_fwd(values, kf, k_max: int):
+    top = jax.lax.top_k(values, k_max)[0]
+    ranks = jnp.arange(k_max, dtype=jnp.float32)
+    w = (ranks[None] < kf[..., None]).astype(jnp.float32) / jnp.maximum(
+        kf[..., None], 1.0
+    )
+    # Per-slice k-th largest value: the inclusion threshold for the backward.
+    idx = jnp.clip(kf.astype(jnp.int32) - 1, 0, k_max - 1)
+    thresh = jnp.take_along_axis(top, idx[..., None], axis=-1)[..., 0]
+    return (top * w).sum(-1), (values, kf, thresh)
+
+
+def _topk_mean_core_bwd(k_max: int, res, g):
+    # d(mean of top-k)/d(values) = [value >= k-th largest] / k — an
+    # elementwise compare instead of lax.top_k's scatter backward (which
+    # dominated the guided-step profile at 9 ms per call). Ties at the
+    # threshold over-select, but every caller feeds `attn * mask` products
+    # whose tied entries are the masked-out zeros — their cotangent is
+    # killed by the mask product immediately downstream.
+    values, kf, thresh = res
+    sel = (values >= thresh[..., None]).astype(jnp.float32)
+    dv = (
+        g[..., None]
+        * sel
+        / jnp.maximum(kf[..., None], 1.0)
+        * (kf[..., None] > 0.0).astype(jnp.float32)
+    )
+    return dv, jnp.zeros_like(kf)
+
+
+_topk_mean_core.defvjp(_topk_mean_core_fwd, _topk_mean_core_bwd)
+
+
 def _topk_mean_desc(values, k, k_max: int = None):
     """Mean of the top-k entries along the last axis, with k a traced
     per-slice integer array broadcastable against values[..., 0].
@@ -67,19 +111,15 @@ def _topk_mean_desc(values, k, k_max: int = None):
 
     ``k_max``: static upper bound on every entry of k. When it is smaller
     than N, `lax.top_k` to k_max replaces the full descending sort — cheaper
-    forward (partial selection) and backward (scatter into k_max positions
-    instead of a full-width permutation).
+    forward (partial selection); the backward is a custom threshold rule
+    (see _topk_mean_core_bwd), not a scatter.
     """
     n = values.shape[-1]
     k_max = n if k_max is None else min(int(k_max), n)
-    if k_max < n:
-        top = jax.lax.top_k(values, k_max)[0]
-    else:
-        top = -jnp.sort(-values, axis=-1)
-    ranks = jnp.arange(k_max, dtype=jnp.int32)
-    kf = k.astype(jnp.float32)[..., None]
-    w = (ranks[None] < k[..., None]).astype(jnp.float32) / jnp.maximum(kf, 1.0)
-    return (top * w).sum(-1)
+    kf = jnp.broadcast_to(
+        k.astype(jnp.float32), values.shape[:-1]
+    )
+    return _topk_mean_core(values, kf, k_max)
 
 
 def _roll_next_frames(x, frame_axis: int, axis_name):
@@ -155,8 +195,15 @@ def ca_energy_for_key(
     assert hk * wk == hw, f"mask grid {hk}x{wk} != attn dim {hw}"
 
     attn = attn.astype(jnp.float32)
-    # Gather object-token maps: (F, heads, HW, O*P) -> (O, P, F, heads, HW)
-    gathered = jnp.take(attn, token_indices.reshape(-1), axis=-1)
+    # Gather object-token maps as a one-hot matmul: (F, heads, HW, L) @
+    # (L, O*P) -> (F, heads, HW, O*P). jnp.take's backward is a scatter into
+    # the full (F, h, HW, L) probs (9 ms per key in the guided-step
+    # profile); the matmul's backward is another matmul.
+    n_l = attn.shape[-1]
+    onehot = (
+        token_indices.reshape(-1)[None, :] == jnp.arange(n_l)[:, None]
+    ).astype(attn.dtype)  # (L, O*P)
+    gathered = attn @ onehot
     gathered = gathered.reshape(n_f, n_heads, hw, n_obj, n_p)
     a = jnp.transpose(gathered, (3, 4, 0, 1, 2))  # (O, P, F, h, HW)
 

@@ -108,6 +108,9 @@ def sample_video(
 
     def make_step(with_guidance: bool, with_gligen: bool):
         def energy(lat, t):
+            # capture_only: the energy consumes attention maps, not the
+            # noise prediction — the UNet walk stops at the last captured
+            # site (skipping up block 3 + conv_out for the standard keys).
             _, aux = apply_unet3d(
                 unet_params,
                 unet_cfg,
@@ -115,6 +118,7 @@ def sample_video(
                 t,
                 cond_text,
                 capture_keys=keys,
+                capture_only=True,
                 remat=True,
                 spmd_axis=spmd_axis,
             )

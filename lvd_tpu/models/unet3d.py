@@ -327,7 +327,9 @@ def _btb_apply(
         return_probs=capture,
     )
     x = x + checkpoint_name(h, "attn_out")
-    x = x + feed_forward(p["ff"], layer_norm(p["norm3"], x, ln_eps))
+    x = x + checkpoint_name(
+        feed_forward(p["ff"], layer_norm(p["norm3"], x, ln_eps)), "ff_out"
+    )
     return x, probs
 
 
@@ -351,6 +353,27 @@ def _spatial_transformer(p, x, context, num_heads, cfg, *, key, capture_keys, au
     return y.reshape(n, h, w, c) + residual
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _head_slices(x, num_heads):
+    """Split the packed channel dim into per-head 64-wide views. The custom
+    VJP concatenates the head cotangents in one op — the default slice
+    backward lowers to per-head dynamic-update-slice scatters, which
+    dominated the guided-step profile (~8.5 ms x 6 temporal transformers)."""
+    d = x.shape[-1] // num_heads
+    return tuple(x[..., i * d:(i + 1) * d] for i in range(num_heads))
+
+
+def _head_slices_fwd(x, num_heads):
+    return _head_slices(x, num_heads), None
+
+
+def _head_slices_bwd(num_heads, _, g):
+    return (jnp.concatenate(g, axis=-1),)
+
+
+_head_slices.defvjp(_head_slices_fwd, _head_slices_bwd)
+
+
 def _temporal_attention_block(p, y, num_heads, ln_eps: float = 1e-5):
     """One double-self-attention BasicTransformerBlock over the frame axis,
     computed in a pixels-major (B, P, F, C) layout.
@@ -365,20 +388,19 @@ def _temporal_attention_block(p, y, num_heads, ln_eps: float = 1e-5):
     d = y.shape[-1] // num_heads
 
     def attn(pa, y):
-        q = linear(pa["to_q"], y)
-        k = linear(pa["to_k"], y)
-        v = linear(pa["to_v"], y)
+        q = _head_slices(linear(pa["to_q"], y), num_heads)
+        k = _head_slices(linear(pa["to_k"], y), num_heads)
+        v = _head_slices(linear(pa["to_v"], y), num_heads)
         outs = []
         for h in range(num_heads):
-            sl = slice(h * d, (h + 1) * d)
             logits = jax.lax.dot_general(
-                q[..., sl], k[..., sl], (((3,), (3,)), ((0, 1), (0, 1))),
+                q[h], k[h], (((3,), (3,)), ((0, 1), (0, 1))),
                 preferred_element_type=jnp.float32,
             ) * jnp.float32(d ** -0.5)           # (B, P, F, G)
-            probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+            probs = jax.nn.softmax(logits, axis=-1).astype(y.dtype)
             outs.append(
                 jax.lax.dot_general(
-                    probs, v[..., sl], (((3,), (2,)), ((0, 1), (0, 1))),
+                    probs, v[h], (((3,), (2,)), ((0, 1), (0, 1))),
                     preferred_element_type=jnp.float32,
                 ).astype(y.dtype)
             )
@@ -388,7 +410,9 @@ def _temporal_attention_block(p, y, num_heads, ln_eps: float = 1e-5):
                             "attn_out")
     y = y + checkpoint_name(attn(p["attn2"], layer_norm(p["norm2"], y, ln_eps)),
                             "attn_out")
-    y = y + feed_forward(p["ff"], layer_norm(p["norm3"], y, ln_eps))
+    y = y + checkpoint_name(
+        feed_forward(p["ff"], layer_norm(p["norm3"], y, ln_eps)), "ff_out"
+    )
     return y
 
 
@@ -546,6 +570,7 @@ def apply_unet3d(
     *,
     gligen=None,
     capture_keys: Sequence[tuple] = (),
+    capture_only: bool = False,
     remat: bool = False,
     spmd_axis=None,
 ):
@@ -562,6 +587,12 @@ def apply_unet3d(
         (reference controllable_pipeline:806-814).
       capture_keys: static tuple of hierarchical attention addresses, e.g.
         ("down", 1, 0, 0), whose cross-attention probabilities are returned.
+      capture_only: stop the walk (statically) once every capture key has
+        been collected and return ``(None, aux)`` — the guidance energy only
+        consumes the attention maps, so the layers past the last captured
+        site (up block 3 + conv_out for the standard key set) are never
+        traced, in the backward either. The reference always pays the full
+        cond forward here (models/pipelines.py:78-83).
       remat: checkpoint each UNet layer (for differentiating the guidance
         energy under HBM limits).
       spmd_axis: mesh axis name when called inside shard_map with frames
@@ -573,9 +604,12 @@ def apply_unet3d(
         pipeline._make_sharded_sample and tests/test_parallel.py.
 
     Returns:
-      (noise_pred (B, F, H, W, C_out), aux dict {key: (B*F, heads, HW, L)}).
+      (noise_pred (B, F, H, W, C_out), aux dict {key: (B*F, heads, HW, L)});
+      noise_pred is None when ``capture_only`` short-circuits the walk.
     """
     capture_keys = tuple(tuple(k) for k in capture_keys)
+    if capture_only and not capture_keys:
+        raise ValueError("capture_only requires capture_keys")
     b, f, h, w, _ = sample.shape
     boc = cfg.block_out_channels
 
@@ -640,7 +674,7 @@ def apply_unet3d(
             fn = jax.checkpoint(
                 fn,
                 policy=jax.checkpoint_policies.save_only_these_names(
-                    "attn_out", "conv_out"
+                    "attn_out", "conv_out", "ff_out"
                 ),
             )
         y, captured = fn(layer_params, x, temb, context)
@@ -651,6 +685,11 @@ def apply_unet3d(
             aux[k] = v
         return y
 
+    def _have_all_keys():
+        # aux is a Python dict at trace time; with static capture_keys this
+        # makes the truncation a trace-time decision, not a runtime branch.
+        return capture_only and len(aux) == len(capture_keys)
+
     # -- down ----------------------------------------------------------------
     res_stack = [x]
     for i, block in enumerate(params["down_blocks"]):
@@ -660,6 +699,8 @@ def apply_unet3d(
             x = run_layer(
                 lp, x, key=("down", i, j), with_attn=not is_final, num_heads=num_heads
             )
+            if _have_all_keys():
+                return None, aux
             res_stack.append(x)
         if "downsample" in block:
             x = conv2d(block["downsample"], x, stride=2)
@@ -676,6 +717,8 @@ def apply_unet3d(
             key=("mid", 0, j), capture_keys=capture_keys, aux=aux,
             gligen_objs=gligen_objs,
         )
+        if _have_all_keys():
+            return None, aux
         x = _temporal_transformer(
             lp["temp_attn"], x, f, num_heads, cfg, spmd_axis=spmd_axis
         )
@@ -692,6 +735,8 @@ def apply_unet3d(
             x = run_layer(
                 lp, x, key=("up", i, j), with_attn=i > 0, num_heads=num_heads
             )
+            if _have_all_keys():
+                return None, aux
         if "upsample" in block:
             y = upsample_nearest_2x(x)
             if res_stack:

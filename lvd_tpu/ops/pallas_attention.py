@@ -146,6 +146,96 @@ def _pallas_attention_heads(q, k, v, scale: float, num_heads: int,
     )(q, k, v, scale_arr)
 
 
+def _attn_bwd_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, scale_smem,
+                     dq_ref, dk_ref, dv_ref, dk_acc, dv_acc, *, nq, s_q):
+    # FlashAttention-style backward (non-causal, no mask): per q-tile,
+    # recompute the softmax, then
+    #   dV += P^T dO;  dS = P * (dO V^T - rowsum(dO*O)) * scale;
+    #   dQ = dS K;     dK += dS^T Q.
+    # dK/dV accumulate in fp32 scratch across the q-tile grid axis.
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _init():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    k = k_ref[0]            # (S, D)
+    v = v_ref[0]
+    o = o_ref[0]
+    scale = scale_smem[0]
+    bq = q_ref.shape[1]
+    # Rows past s_q are block padding with unspecified contents; zero them
+    # before ANY dot that contracts over rows (0 * garbage-NaN = NaN).
+    valid = (i * bq + jax.lax.iota(jnp.int32, bq))[:, None] < s_q
+    q = jnp.where(valid, q_ref[0], 0.0).astype(q_ref.dtype)   # (BQ, D)
+    do = jnp.where(valid, do_ref[0], 0.0).astype(do_ref.dtype)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+    ) * scale                                            # (BQ, S)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    p = jnp.where(valid, p, 0.0)
+
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                    axis=-1, keepdims=True)              # (BQ, 1)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+    )                                                    # (BQ, S)
+    ds = p * (dp - delta) * scale
+    ds = jnp.where(valid, ds, 0.0).astype(q.dtype)
+
+    dq_ref[0] = jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    ).astype(dq_ref.dtype)
+    dk_acc[...] += jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )                                                    # (S, D)
+    dv_acc[...] += jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(i == nq - 1)
+    def _done():
+        dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def _pallas_attention_bwd(q, k, v, o, do, scale: float, block_q: int = 256,
+                          interpret: bool = False):
+    """(BH, S_q, D) flash backward; returns (dq, dk, dv)."""
+    bh, s_q, d = q.shape
+    s_k = k.shape[1]
+    block_q = min(block_q, s_q)
+    nq = pl.cdiv(s_q, block_q)
+    scale_arr = jnp.full((1,), scale, jnp.float32)
+
+    tile = lambda: pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+                                memory_space=pltpu.VMEM)
+    full = lambda: pl.BlockSpec((1, s_k, d), lambda b, i: (b, 0, 0),
+                                memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_attn_bwd_kernel, nq=nq, s_q=s_q),
+        grid=(bh, nq),
+        in_specs=[tile(), full(), full(), tile(), tile(),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=[tile(), full(), full()],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, s_q, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, s_k, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, s_k, d), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((s_k, d), jnp.float32),
+            pltpu.VMEM((s_k, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v, o, do, scale_arr)
+
+
 def _chunked_sdpa(q, k, v, scale: float, block_q: int = 512):
     """Memory-light pure-JAX attention: scan over query blocks, each block
     rematerialized in the backward pass. (BH, S, D) layout."""
@@ -186,14 +276,17 @@ def _flash(q, k, v, scale):
 
 
 def _flash_fwd(q, k, v, scale):
-    return _pallas_attention(q, k, v, scale), (q, k, v)
+    o = _pallas_attention(q, k, v, scale)
+    return o, (q, k, v, o)
 
 
 def _flash_bwd(scale, res, g):
-    q, k, v = res
-    # Recompute-based backward through the chunked formulation.
-    _, vjp = jax.vjp(lambda q, k, v: _chunked_sdpa(q, k, v, scale), q, k, v)
-    return vjp(g)
+    q, k, v, o = res
+    # Flash backward kernel: recomputes the softmax per q-tile and
+    # accumulates dK/dV in VMEM. The previous chunked-recompute vjp
+    # (lax.map over jax.vjp of blocks) spent ~70 ms per guided step in
+    # scan stacking and gradient-accumulation fusions.
+    return _pallas_attention_bwd(q, k, v, o, g, scale)
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)
@@ -226,15 +319,32 @@ def _flash_heads(q, k, v, scale, num_heads):
 
 
 def _flash_heads_fwd(q, k, v, scale, num_heads):
-    return _pallas_attention_heads(q, k, v, scale, num_heads), (q, k, v)
+    o = _pallas_attention_heads(q, k, v, scale, num_heads)
+    return o, (q, k, v, o)
 
 
 def _flash_heads_bwd(scale, num_heads, res, g):
-    q, k, v = res
-    _, vjp = jax.vjp(
-        lambda q, k, v: _heads_chunked(q, k, v, scale, num_heads), q, k, v
+    # The packed layout pays its (B,S,C)->(B*H,S,D) relayouts here, in the
+    # backward only (the guided path); the flash bwd kernel then avoids the
+    # chunked-recompute vjp's scan/stack overhead.
+    q, k, v, o = res
+    b, s_q, c = q.shape
+    d = c // num_heads
+
+    def to_bh(t):
+        s = t.shape[1]
+        return (t.reshape(b, s, num_heads, d).transpose(0, 2, 1, 3)
+                .reshape(b * num_heads, s, d))
+
+    def from_bh(t, s):
+        return (t.reshape(b, num_heads, s, d).transpose(0, 2, 1, 3)
+                .reshape(b, s, c))
+
+    dq, dk, dv = _pallas_attention_bwd(
+        to_bh(q), to_bh(k), to_bh(v), to_bh(o), to_bh(g), scale
     )
-    return vjp(g)
+    s_k = k.shape[1]
+    return from_bh(dq, s_q), from_bh(dk, s_k), from_bh(dv, s_k)
 
 
 _flash_heads.defvjp(_flash_heads_fwd, _flash_heads_bwd)

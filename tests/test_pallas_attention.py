@@ -130,6 +130,27 @@ def test_packed_heads_matches_split(monkeypatch):
     np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=2e-4, atol=2e-5)
 
 
+def test_flash_backward_kernel_matches_reference():
+    """The Pallas flash-backward kernel (interpret mode) must reproduce the
+    analytic attention gradients, including masking of the padded rows of a
+    non-divisible final q-tile."""
+    rng = np.random.default_rng(5)
+    bh, s, d = 3, 200, 64  # 200 % 128 != 0: exercises the padded-tile mask
+    q = jnp.asarray(rng.standard_normal((bh, s, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((bh, s, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((bh, s, d)), jnp.float32)
+    scale = d ** -0.5
+    cot = jnp.asarray(rng.standard_normal((bh, s, d)), jnp.float32)
+
+    o, vjp = jax.vjp(lambda q, k, v: _ref_attention(q, k, v, scale), q, k, v)
+    want = vjp(cot)
+    got = pa._pallas_attention_bwd(q, k, v, o, cot, scale, block_q=128,
+                                   interpret=True)
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-5)
+
+
 def test_sdpa_dispatch_consistency():
     """sdpa with and without the fused path must agree (B, H, S, D layout)."""
     rng = np.random.default_rng(3)

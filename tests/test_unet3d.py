@@ -121,6 +121,43 @@ def test_gligen_gated_unet(tiny):
     assert float(jnp.abs(out_hot - out_n).max()) > 1e-4
 
 
+def test_capture_only_matches_full_walk(tiny):
+    """capture_only truncates the UNet statically after the last captured
+    site; the returned attention maps (and their latent gradients) must be
+    identical to the full forward's."""
+    cfg, params = tiny
+    sample, t, text = _inputs(cfg)
+    keys = (("down", 1, 0, 0), ("up", 1, 0, 0))
+
+    out_full, aux_full = jax.jit(
+        lambda s: apply_unet3d(params, cfg, s, t, text, capture_keys=keys)
+    )(sample)
+    out_trunc, aux_trunc = jax.jit(
+        lambda s: apply_unet3d(
+            params, cfg, s, t, text, capture_keys=keys, capture_only=True
+        )
+    )(sample)
+    assert out_trunc is None
+    assert set(aux_trunc) == set(aux_full)
+    for k in aux_full:
+        np.testing.assert_allclose(
+            np.asarray(aux_trunc[k]), np.asarray(aux_full[k]), rtol=1e-6, atol=1e-6
+        )
+
+    def energy(s, capture_only):
+        _, aux = apply_unet3d(
+            params, cfg, s, t, text, capture_keys=keys,
+            capture_only=capture_only, remat=True,
+        )
+        return sum(jnp.sum(a[..., :3].astype(jnp.float32)) for a in aux.values())
+
+    g_full = jax.jit(jax.grad(lambda s: energy(s, False)))(sample)
+    g_trunc = jax.jit(jax.grad(lambda s: energy(s, True)))(sample)
+    np.testing.assert_allclose(
+        np.asarray(g_trunc), np.asarray(g_full), rtol=1e-5, atol=1e-6
+    )
+
+
 def test_remat_grad_equivalence(tiny):
     """The selective remat policy (save attn/conv outputs by name, recompute
     the elementwise chains) must not change the guidance gradient: remat is a
