@@ -153,10 +153,14 @@ def silu(x):
 
 
 def geglu(p, x):
-    """GEGLU projection: Linear(dim -> 2*inner), gate with exact GELU."""
+    """GEGLU projection: Linear(dim -> 2*inner), gated with GELU. The GELU
+    form follows ops.geglu_fused.GELU_FORM so the fused kernel, the unfused
+    fallback, and this path all compute the same function."""
+    from . import geglu_fused
+
     h = linear(p, x)
     h, gate = jnp.split(h, 2, axis=-1)
-    return h * jax.nn.gelu(gate, approximate=False)
+    return h * jax.nn.gelu(gate, approximate=geglu_fused.GELU_FORM == "tanh")
 
 
 def feed_forward(p, x):

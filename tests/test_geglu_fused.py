@@ -36,6 +36,40 @@ def test_fused_kernel_matches_unfused():
                                rtol=2e-4, atol=2e-4)
 
 
+def test_gelu_forms_pinned():
+    """Both kernel GELU polynomials must match their jax.nn.gelu
+    counterparts (the tanh form is the default; LVD_GELU_FORM=exact restores
+    the reference's erf form). The two forms differ by at most ~3e-3 — at
+    bf16 rounding scale, which is why the swap is allowed at all."""
+    x = jnp.linspace(-6.0, 6.0, 4097, dtype=jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(gf._gelu_tanh(x)),
+        np.asarray(jax.nn.gelu(x, approximate=True)), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(gf._gelu_exact(x)),
+        np.asarray(jax.nn.gelu(x, approximate=False)), rtol=1e-4, atol=2e-6)
+    gap = np.abs(np.asarray(gf._gelu_tanh(x) - gf._gelu_exact(x)))
+    assert gap.max() < 4e-3
+
+
+def test_fused_kernel_matches_unfused_exact_form(monkeypatch):
+    """The erf escape hatch must stay wired through the kernel."""
+    monkeypatch.setattr(gf, "GELU_FORM", "exact")
+    rng = np.random.default_rng(3)
+    c, inner, r = 64, 256, 256
+    p = _params(rng, c, inner)
+    x = jnp.asarray(rng.standard_normal((r, c)), jnp.float32)
+    got = gf._fused_rows(
+        x, p["proj"]["w"], p["proj"]["b"], p["out"]["w"], p["out"]["b"],
+        block_m=128, block_k=256, interpret=True,
+    )
+    want = gf._unfused(
+        x, p["proj"]["w"], p["proj"]["b"], p["out"]["w"], p["out"]["b"]
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_feed_forward_dispatch_cpu_unchanged():
     """On CPU feed_forward must keep the unfused path (kernel is TPU-only)."""
     rng = np.random.default_rng(1)
