@@ -43,6 +43,7 @@ from jax.ad_checkpoint import checkpoint_name
 
 from ..config import UNet3DConfig
 from ..ops.attention import attention
+from ..ops.temporal_attention import temporal_attention_pair
 from ..ops.basic import (
     conv2d,
     conv3d,
@@ -353,63 +354,22 @@ def _spatial_transformer(p, x, context, num_heads, cfg, *, key, capture_keys, au
     return y.reshape(n, h, w, c) + residual
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
-def _head_slices(x, num_heads):
-    """Split the packed channel dim into per-head 64-wide views. The custom
-    VJP concatenates the head cotangents in one op — the default slice
-    backward lowers to per-head dynamic-update-slice scatters, which
-    dominated the guided-step profile (~8.5 ms x 6 temporal transformers)."""
-    d = x.shape[-1] // num_heads
-    return tuple(x[..., i * d:(i + 1) * d] for i in range(num_heads))
-
-
-def _head_slices_fwd(x, num_heads):
-    return _head_slices(x, num_heads), None
-
-
-def _head_slices_bwd(num_heads, _, g):
-    return (jnp.concatenate(g, axis=-1),)
-
-
-_head_slices.defvjp(_head_slices_fwd, _head_slices_bwd)
-
-
 def _temporal_attention_block(p, y, num_heads, ln_eps: float = 1e-5):
     """One double-self-attention BasicTransformerBlock over the frame axis,
     computed in a pixels-major (B, P, F, C) layout.
 
     The reference transposes pixels into the batch dim ((B*H*W, F, C),
     transformer_temporal.py:143-158) around EVERY attention; here the caller
-    transposes once per temporal transformer and the FxF attention runs as
-    per-head (batch=(B, P)) dot_generals whose operands already have (F, D)
-    minor — no hidden relayouts, no f32 (B,P,H,F,F) spill in a bad layout
-    (measured 18.4 -> 12.3 ms per L0 block, bit-identical outputs).
+    transposes once per temporal transformer, and on TPU both LN+attention
+    stages run inside one Pallas kernel that packs G pixels per program into
+    a block-diagonal (G*F, G*F) frame attention (ops/temporal_attention.py)
+    — the (B, P, F, C) stream makes one HBM round trip per attention pair
+    instead of ~10 (LN/qkv/concat/out per attention). The FF stays on the
+    fused GEGLU kernel.
     """
-    d = y.shape[-1] // num_heads
-
-    def attn(pa, y):
-        q = _head_slices(linear(pa["to_q"], y), num_heads)
-        k = _head_slices(linear(pa["to_k"], y), num_heads)
-        v = _head_slices(linear(pa["to_v"], y), num_heads)
-        outs = []
-        for h in range(num_heads):
-            logits = jax.lax.dot_general(
-                q[h], k[h], (((3,), (3,)), ((0, 1), (0, 1))),
-                preferred_element_type=jnp.float32,
-            ) * jnp.float32(d ** -0.5)           # (B, P, F, G)
-            probs = jax.nn.softmax(logits, axis=-1).astype(y.dtype)
-            outs.append(
-                jax.lax.dot_general(
-                    probs, v[h], (((3,), (2,)), ((0, 1), (0, 1))),
-                    preferred_element_type=jnp.float32,
-                ).astype(y.dtype)
-            )
-        return linear(pa["to_out"], jnp.concatenate(outs, axis=-1))
-
-    y = y + checkpoint_name(attn(p["attn1"], layer_norm(p["norm1"], y, ln_eps)),
-                            "attn_out")
-    y = y + checkpoint_name(attn(p["attn2"], layer_norm(p["norm2"], y, ln_eps)),
-                            "attn_out")
+    y = checkpoint_name(
+        temporal_attention_pair(p, y, num_heads, ln_eps), "attn_out"
+    )
     y = y + checkpoint_name(
         feed_forward(p["ff"], layer_norm(p["norm3"], y, ln_eps)), "ff_out"
     )

@@ -53,9 +53,10 @@ def _gelu_exact(x):
 
 def _gelu_tanh(x):
     # Tanh-form GELU, matching jax.nn.gelu(approximate=True); tanh written
-    # via exp (Mosaic has exp, not tanh): tanh(z) = 2*sigmoid(2z) - 1.
-    z = 0.7978845608028654 * (x + 0.044715 * x * x * x)
-    return x / (1.0 + jnp.exp(-2.0 * z))
+    # via exp2 (the TPU transcendental unit's native base, and Mosaic has no
+    # tanh): x*0.5*(1+tanh(z)) = x*sigmoid(2z) = x/(1+2^(-2*log2(e)*z)).
+    z = x + 0.044715 * x * x * x
+    return x / (1.0 + jnp.exp2(-2.302208563834158 * z))
 
 
 def _gate(h, g, form: str):
