@@ -29,12 +29,15 @@ import os
 # Kill-switch for the fused/chunked attention paths (debugging).
 _DISABLE_FUSED = os.environ.get("LVD_DISABLE_FLASH") == "1"
 
-# Short-key attention (temporal over <=24 frames, cross-attention over 77
-# text tokens) stays on the XLA einsum path: the materialized probs are small
-# relative to activations and the MXU can't be fed from a 77-wide key block.
-# Long-key self-attention (spatial, up to 4096 tokens) goes to the fused
-# kernel — materializing (S, S) probs there is the reference's OOM.
+# The projected-attention entry points route every non-captured attention
+# through the head-packed Pallas kernels: long keys (spatial self-attention,
+# up to 4096 tokens) tile queries against VMEM-resident K/V — materializing
+# (S, S) probs there is the reference's OOM — and short keys (77-token text
+# cross-attention, low-res self-attention) use the padded-K/V kernel, whose
+# XLA alternative writes (B, H, S_q, S_k) f32 probs to HBM. The raw-sdpa
+# helper keeps the einsum path for short keys (it has no head-packed inputs).
 _FUSED_MIN_KEY_LEN = 256
+_PACKED_MAX_SHORT_KEY = 256
 
 
 def _split_heads(x, num_heads: int):
@@ -92,13 +95,11 @@ def attention(
     q = linear(p["to_q"], hidden_states)
     k = linear(p["to_k"], context)
     v = linear(p["to_v"], context)
-    if (
-        not return_probs
-        and not _DISABLE_FUSED
-        and k.shape[-2] >= _FUSED_MIN_KEY_LEN
-    ):
+    if not return_probs and not _DISABLE_FUSED:
         # Head-packed fused path: q/k/v stay (B, S, H*D) end to end — no
-        # (B*H, S, D) relayouts in HBM around the kernel.
+        # (B*H, S, D) relayouts in HBM around the kernel. attention_packed
+        # picks the short-key (VMEM-resident padded K/V) or long-key
+        # (query-tiled) kernel and falls back to chunked XLA off-TPU.
         from . import pallas_attention
 
         d = q.shape[-1] // num_heads

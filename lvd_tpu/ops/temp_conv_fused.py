@@ -44,37 +44,57 @@ def _kernel(x_ref, a_ref, b_ref, w_ref, bias_ref, o_ref):
     acc += jax.lax.dot_general(znext, w_ref[2], dn,
                                preferred_element_type=jnp.float32)
     acc += bias_ref[0, 0].astype(jnp.float32)[None, :]
-    o_ref[0] = acc.reshape(f, bp, c).astype(o_ref.dtype)
+    # With output-channel blocking (C > 640) the out block is narrower than C.
+    o_ref[0] = acc.reshape(f, bp, o_ref.shape[-1]).astype(o_ref.dtype)
+
+
+def _block_p_for(c: int) -> int:
+    # The kernel keeps z (fp32 + bf16), two frame-shifted copies, and the
+    # fp32 accumulator live per block: ~22 * F * block_p * C bytes. 64/32/16
+    # keeps that under the 16 MB scoped-VMEM limit at F=24.
+    return 64 if c <= 384 else (32 if c <= 640 else 16)
+
+
+def _block_co_for(c: int) -> int:
+    # Weight block is 3 * C * block_co bf16; cap it at ~2 MB so the wide
+    # (C=1280) levels fit VMEM alongside the activation tile.
+    if c <= 640:
+        return c
+    for co in (256, 128, 64):
+        if c % co == 0:
+            return co
+    return 0
 
 
 def _fused(x, a, b, w, bias, *, block_p: int = None, interpret: bool = False):
     """x: (B, F, P, C); a, b: (B, C) fp32; w: (3, C, C); bias: (C,)."""
     bsz, f, p, c = x.shape
     if block_p is None:
-        # The kernel keeps z (fp32 + bf16), two frame-shifted copies, and the
-        # fp32 accumulator live per block: ~22 * F * block_p * C bytes. 64/32
-        # keeps that under the 16 MB scoped-VMEM limit at F=24.
-        block_p = 64 if c <= 384 else 32
+        block_p = _block_p_for(c)
     block_p = min(block_p, p)
-    grid = (bsz, pl.cdiv(p, block_p))
+    block_co = _block_co_for(c)
+    grid = (bsz, pl.cdiv(p, block_p), c // block_co)
 
     return pl.pallas_call(
         _kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, f, block_p, c), lambda bi, pi: (bi, 0, pi, 0),
+            # x/a/b blocks are co-invariant: Pallas re-fetches nothing when
+            # only the innermost (co) grid index advances.
+            pl.BlockSpec((1, f, block_p, c), lambda bi, pi, ci: (bi, 0, pi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, c), lambda bi, pi: (bi, 0, 0),
+            pl.BlockSpec((1, 1, c), lambda bi, pi, ci: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, c), lambda bi, pi: (bi, 0, 0),
+            pl.BlockSpec((1, 1, c), lambda bi, pi, ci: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, c, c), lambda bi, pi: (0, 0, 0),
+            pl.BlockSpec((3, c, block_co), lambda bi, pi, ci: (0, 0, ci),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, c), lambda bi, pi: (0, 0, 0),
+            pl.BlockSpec((1, 1, block_co), lambda bi, pi, ci: (0, 0, ci),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, f, block_p, c), lambda bi, pi: (bi, 0, pi, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (1, f, block_p, block_co), lambda bi, pi, ci: (bi, 0, pi, ci),
+            memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bsz, f, p, c), x.dtype),
         interpret=interpret,
     )(x, a[:, None, :], b[:, None, :], w, bias[None, None, :])
@@ -115,8 +135,8 @@ def supported(x) -> bool:
         jax.default_backend() == "tpu"
         and x.dtype in (jnp.bfloat16, jnp.float32)
         and c % 8 == 0
-        and c <= 640          # weight block is 3*C*C; keep it VMEM-friendly
-        and f * min(p, 64 if c <= 384 else 32) * c * x.dtype.itemsize
+        and _block_co_for(c) > 0
+        and f * min(p, _block_p_for(c)) * c * x.dtype.itemsize
             <= 4 * 1024 * 1024
     )
 

@@ -11,12 +11,12 @@ This kernel processes G pixels per program as one (G*F, C) row block and runs
 LN1 -> attn1 -> +res -> LN2 -> attn2 -> +res entirely in VMEM:
 
 - Frame attention rides the MXU as a (G*F, G*F) block-diagonal matmul: the
-  q/k dot computes all pixel pairs of the tile and a -inf mask keeps only the
-  per-pixel (F, F) blocks. G*F = 120 rows ≈ one full MXU tile; the G-fold
-  FLOP overhead is far below the win from full-depth contractions.
-- Heads are never lane-sliced: the projection weights are passed pre-split as
-  (H, C, 64) / (H, 64, C), so per-head access is leading-dim ref indexing
-  (free) and every dot is 2D with a 64- or C-wide minor.
+  q/k dot computes all pixel pairs of the tile and a 0/1 mask (multiplied
+  into the exp2'd logits — no -inf add, no row-max pass) keeps only the
+  per-pixel (F, F) blocks. The G-fold FLOP overhead is far below the win
+  from full-depth contractions.
+- q/k/v project in ONE (R, C) x (C, 3C) dot per attention (full C-deep MXU
+  contraction); heads are lane-sliced from the fp32 result in VMEM.
 - The output projection accumulates per head into an fp32 (G*F, C) scratch
   value: sum_h o_h @ Wo[h] == concat(o) @ Wo.
 
@@ -45,29 +45,33 @@ def _ln(x, s_ref, b_ref, eps: float):
             + b_ref[...].astype(jnp.float32)).astype(x.dtype)
 
 
-def _one_attn(x, wq_ref, wk_ref, wv_ref, wo_ref, bo_ref, mask,
-              num_heads: int, scale: float):
+def _one_attn(x, wqkv_ref, wo_ref, bo_ref, mask01, num_heads: int,
+              scale: float):
+    """One self-attention on an (R, C) row block.
+
+    The q/k/v projections run as a single (R, C) x (C, 3C) MXU dot (a full
+    C-deep contraction, vs three 64-wide per-head dots) and heads are
+    lane-sliced out of the fp32 result in VMEM. The softmax skips the row-max
+    pass: logits are bounded far below f32's exp2 range, a static clamp
+    guards the tail, and the block-diagonal mask multiplies (0/1) instead of
+    adding -inf — measured 5.45 -> 3.69 ms per L0 instance for the pair.
+    """
+    c = x.shape[-1]
+    d = c // num_heads
+    qkv = jax.lax.dot_general(
+        x, wqkv_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                   # (R, 3C) fp32
     acc = None
     for h in range(num_heads):
-        q = jax.lax.dot_general(
-            x, wq_ref[h], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * (scale * _LOG2E)
-        k = jax.lax.dot_general(
-            x, wk_ref[h], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        v = jax.lax.dot_general(
-            x, wv_ref[h], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(x.dtype)
+        q = qkv[:, h * d:(h + 1) * d] * (scale * _LOG2E)
+        k = qkv[:, c + h * d:c + (h + 1) * d]
+        v = qkv[:, 2 * c + h * d:2 * c + (h + 1) * d].astype(x.dtype)
         s = jax.lax.dot_general(
             q.astype(x.dtype), k.astype(x.dtype),
             (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
         )
-        s = s + mask                                    # (R, R)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp2(s - m)
+        p = jnp.exp2(jnp.minimum(s, 80.0)) * mask01
         p = p / jnp.sum(p, axis=-1, keepdims=True)
         o = jax.lax.dot_general(
             p.astype(x.dtype), v, (((1,), (0,)), ((), ())),
@@ -82,32 +86,24 @@ def _one_attn(x, wq_ref, wk_ref, wv_ref, wo_ref, bo_ref, mask,
 
 
 def _tattn_kernel(y_ref,
-                  ln1s_ref, ln1b_ref, wq1_ref, wk1_ref, wv1_ref, wo1_ref, bo1_ref,
-                  ln2s_ref, ln2b_ref, wq2_ref, wk2_ref, wv2_ref, wo2_ref, bo2_ref,
+                  ln1s_ref, ln1b_ref, wqkv1_ref, wo1_ref, bo1_ref,
+                  ln2s_ref, ln2b_ref, wqkv2_ref, wo2_ref, bo2_ref,
                   o_ref, *, g: int, f: int, num_heads: int, eps: float):
     r = g * f
     c = y_ref.shape[-1]
     x = y_ref[0].reshape(r, c)
-    # Block-diagonal mask: row i attends to col j iff same pixel (i//F == j//F).
+    # Block-diagonal 0/1 mask: row i attends to col j iff same pixel
+    # (i//F == j//F); applied multiplicatively after exp2.
     row = jax.lax.broadcasted_iota(jnp.int32, (r, r), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (r, r), 1)
-    mask = jnp.where((row // f) == (col // f), 0.0, -jnp.inf).astype(jnp.float32)
-    scale = (wq1_ref.shape[-1]) ** -0.5
+    mask01 = ((row // f) == (col // f)).astype(jnp.float32)
+    scale = (c // num_heads) ** -0.5
 
     x = x + _one_attn(_ln(x, ln1s_ref, ln1b_ref, eps),
-                      wq1_ref, wk1_ref, wv1_ref, wo1_ref, bo1_ref,
-                      mask, num_heads, scale)
+                      wqkv1_ref, wo1_ref, bo1_ref, mask01, num_heads, scale)
     x = x + _one_attn(_ln(x, ln2s_ref, ln2b_ref, eps),
-                      wq2_ref, wk2_ref, wv2_ref, wo2_ref, bo2_ref,
-                      mask, num_heads, scale)
+                      wqkv2_ref, wo2_ref, bo2_ref, mask01, num_heads, scale)
     o_ref[0] = x.reshape(g, f, c)
-
-
-def _split_heads_w(w, num_heads: int):
-    """(C, C') -> (H, C, 64) per-head input projections."""
-    c, cp = w.shape
-    d = cp // num_heads
-    return w.reshape(c, num_heads, d).transpose(1, 0, 2)
 
 
 def _split_heads_wo(w, num_heads: int):
@@ -119,9 +115,9 @@ def _split_heads_wo(w, num_heads: int):
 
 def _attn_inputs(pa, num_heads, dtype):
     return (
-        _split_heads_w(pa["to_q"]["w"].astype(dtype), num_heads),
-        _split_heads_w(pa["to_k"]["w"].astype(dtype), num_heads),
-        _split_heads_w(pa["to_v"]["w"].astype(dtype), num_heads),
+        jnp.concatenate(
+            [pa["to_q"]["w"], pa["to_k"]["w"], pa["to_v"]["w"]], axis=1
+        ).astype(dtype),
         _split_heads_wo(pa["to_out"]["w"].astype(dtype), num_heads),
         pa["to_out"]["b"].astype(jnp.float32)[None, :],
     )
@@ -148,7 +144,7 @@ def _pallas_pair(p, y, num_heads: int, g: int, eps: float,
     const = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     specs = [pl.BlockSpec((1, g, f, c), lambda i, j: (i, j, 0, 0),
                           memory_space=pltpu.VMEM)]
-    specs += [const() for _ in range(14)]
+    specs += [const() for _ in range(10)]
     return pl.pallas_call(
         functools.partial(_tattn_kernel, g=g, f=f, num_heads=num_heads, eps=eps),
         grid=(b, n_tiles),
@@ -236,15 +232,14 @@ def _pick_g(pdim: int) -> int:
 def supported(y, num_heads: int) -> bool:
     b, pdim, f, c = y.shape
     d = c // num_heads
-    # Measured: the kernel wins at the pixel-heavy C<=512 levels and loses
-    # at C=640 (more heads -> more tiny dependent dots per program, fewer
-    # pixels for XLA to be bad at). C=1280 would also blow the VMEM weight
-    # budget (26 MB).
+    # Measured: with the fused-qkv projection the kernel wins through C=640
+    # (g=16: 2.07 vs 2.50 ms XLA at L1). C=1280 would blow the VMEM weight
+    # budget (26 MB of projection weights per pair).
     return (
         jax.default_backend() == "tpu"
         and y.dtype in (jnp.bfloat16, jnp.float32)
         and d == 64
-        and c <= 512
+        and c <= 640
         and _pick_g(pdim) > 0
     )
 

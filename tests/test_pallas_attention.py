@@ -130,6 +130,42 @@ def test_packed_heads_matches_split(monkeypatch):
     np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=2e-4, atol=2e-5)
 
 
+def test_shortkey_kernel_matches_reference():
+    """The padded-K/V short-key kernel (interpret mode) must equal reference
+    attention on a 77-token key (cross-attention shape), incl. the column
+    mask over the 77->128 zero padding; its VJP must match the unfused
+    gradients."""
+    import functools
+    rng = np.random.default_rng(7)
+    b, s_q, s_k, h, d = 2, 160, 77, 5, 64
+    c = h * d
+    q = jnp.asarray(rng.standard_normal((b, s_q, c)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, s_k, c)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, s_k, c)), jnp.float32)
+    scale = d ** -0.5
+
+    def split(t):
+        s = t.shape[1]
+        return t.reshape(b, s, h, d).transpose(0, 2, 1, 3).reshape(b * h, s, d)
+
+    want = _ref_attention(split(q), split(k), split(v), scale)
+    want = want.reshape(b, h, s_q, d).transpose(0, 2, 1, 3).reshape(b, s_q, c)
+
+    got = pa._pallas_attention_shortkey(q, k, v, scale, h, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
+
+    g_got = pa._flash_heads_short_bwd(
+        scale, h, (q, k, v),
+        2.0 * pa._heads_chunked(q, k, v, scale, h))
+    g_want = jax.grad(
+        lambda q, k, v: jnp.sum(pa._heads_chunked(q, k, v, scale, h) ** 2),
+        argnums=(0, 1, 2))(q, k, v)
+    for a, bb in zip(g_got, g_want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   rtol=5e-4, atol=5e-5)
+
+
 def test_flash_backward_kernel_matches_reference():
     """The Pallas flash-backward kernel (interpret mode) must reproduce the
     analytic attention gradients, including masking of the padded rows of a

@@ -41,6 +41,18 @@ def test_fused_stage_matches_reference():
     np.testing.assert_allclose(got_edge, want_edge, rtol=2e-4, atol=2e-4)
 
 
+def test_fused_stage_wide_channel_co_blocking():
+    """C > 640 path: the kernel tiles output channels (block_co < C)."""
+    x, norm, conv = _inputs(b=1, f=3, p=8, c=768, seed=3)
+    assert tcf._block_co_for(768) == 256
+    a, bc = group_norm_coeffs(norm, x, 32, 1e-5)
+    w = conv["w"].reshape(3, x.shape[-1], x.shape[-1])
+    got = tcf._fused(x, a, bc, w, conv["b"], interpret=True, block_p=8)
+    want = _reference_stage(x, norm, conv)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_fused_stage_gradients_match_unfused():
     x, norm, conv = _inputs(b=1, f=3, p=16, c=128, seed=1)
     a, bc = group_norm_coeffs(norm, x, 32, 1e-5)
