@@ -95,11 +95,20 @@ def attention(
     q = linear(p["to_q"], hidden_states)
     k = linear(p["to_k"], context)
     v = linear(p["to_v"], context)
-    if not return_probs and not _DISABLE_FUSED:
+    short_key = k.shape[-2] < _FUSED_MIN_KEY_LEN
+    if (
+        not return_probs
+        and not _DISABLE_FUSED
+        # Long keys always use the fused/chunked path (the einsum would
+        # materialize (S, S) probs — the reference's OOM). Short keys only
+        # benefit from it on TPU (Pallas kernel); off-TPU the small einsum
+        # is faster than the chunked scan.
+        and (not short_key or jax.default_backend() == "tpu")
+    ):
         # Head-packed fused path: q/k/v stay (B, S, H*D) end to end — no
         # (B*H, S, D) relayouts in HBM around the kernel. attention_packed
         # picks the short-key (VMEM-resident padded K/V) or long-key
-        # (query-tiled) kernel and falls back to chunked XLA off-TPU.
+        # (query-tiled) kernel.
         from . import pallas_attention
 
         d = q.shape[-1] // num_heads

@@ -125,8 +125,9 @@ def _pallas_attention_heads(q, k, v, scale: float, num_heads: int,
         # Measured sweet spot (see PERF.md): the unrolled per-head loop keeps
         # one fp32 logits tile (4 * block_q * s_k) live per head, and Mosaic's
         # stack allocator does not always reuse across unrolled iterations —
-        # 256 fits every UNet level; >=384 at L0/L1 shapes exceeds scoped VMEM.
-        block_q = 256
+        # 320 fits every UNet level (5.11 vs 5.59 ms at 256 for the L0
+        # instance with the no-max softmax); >=384 exceeds scoped VMEM.
+        block_q = 320
     block_q = min(block_q, s_q)
     grid = (b, pl.cdiv(s_q, block_q))
     scale_arr = jnp.full((1,), scale, jnp.float32)
