@@ -93,6 +93,10 @@ def main():
     }
 
     def run(seed):
+        # uint8_device: the decoded frames stay on-device so video i's
+        # host transfer (12.7 MB over the tunnel) overlaps video i+1's
+        # sampling — standard throughput pipelining; every video's bytes
+        # still land on the host inside the timed region.
         return pipe(
             prompt,
             negative_prompt="dull, blurry",
@@ -100,15 +104,23 @@ def main():
             num_frames=frames,
             seed=seed,
             backward_guidance=backward_guidance,
+            output_type="uint8_device",
         )
 
+    import numpy as np
+
     # Warmup: compile everything.
-    run(0)
+    np.asarray(run(0))
 
     n_trials = 1 if tiny else 3
     t0 = time.time()
+    pending = None
     for i in range(n_trials):
-        run(i + 1)
+        fut = run(i + 1)
+        if pending is not None:
+            np.asarray(pending)
+        pending = fut
+    np.asarray(pending)
     sec = (time.time() - t0) / n_trials
 
     print(

@@ -397,6 +397,17 @@ class TextToVideoPipeline:
 
         if output_type == "latent":
             return final
+        if output_type == "uint8_device":
+            # Async pipelining hook: return the decoded uint8 frames as a
+            # DEVICE array without forcing the host transfer, so a caller
+            # generating several videos can overlap video i's device->host
+            # transfer with video i+1's sampling (the transfer rides the
+            # tunnel/PCIe while the chip computes). Convert with
+            # np.asarray(...) when needed; /255 gives the float video.
+            b, f, h_l, w_l, c = final.shape
+            return self._decode_jit(
+                self.vae_params, final.reshape(b * f, h_l, w_l, c)
+            )
         with self.timer.phase("decode"):
             video = self.decode_latents(final)
         return video  # (B, F, H, W, 3) float32 in [0, 1]
