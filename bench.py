@@ -32,6 +32,9 @@ def main():
     from lvd_tpu.models.loader import tiny_pipeline_models
     from lvd_tpu.pipeline import TextToVideoPipeline
     from lvd_tpu.runners.base import OVERALL_GUIDANCE_ATTN_KEYS
+    from lvd_tpu.utils.platform import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
 
     tiny = os.environ.get("LVD_BENCH_TINY") == "1"
     if tiny:

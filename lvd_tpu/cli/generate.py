@@ -25,7 +25,7 @@ from ..text.parser import get_parsed_layout
 from ..text.templates import TEMPLATE_VERSIONS, canonical_prompt, get_prompts
 from ..layout.condition import parsed_layout_to_condition
 from ..utils import vis
-from ..utils.platform import maybe_force_platform
+from ..utils.platform import enable_persistent_compile_cache, maybe_force_platform
 from ..runners import base as runner_base
 
 LARGE_CONSTANT2 = 56789
@@ -108,6 +108,7 @@ def resolve_runner(run_model: str):
 
 def main(argv=None):
     maybe_force_platform()
+    enable_persistent_compile_cache()
     args = build_parser().parse_args(argv)
     run_model = args.run_model
     baseline = run_model in ("modelscope", "modelscope_256", "zeroscope", "zeroscope_xl")

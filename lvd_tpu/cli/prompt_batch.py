@@ -21,7 +21,7 @@ from ..text.client import MODEL_NAMES, get_full_model_name, get_llm_kwargs, make
 from ..text.parser import get_parsed_layout
 from ..text.templates import TEMPLATE_VERSIONS, canonical_prompt, get_prompts
 from ..utils import vis
-from ..utils.platform import maybe_force_platform
+from ..utils.platform import enable_persistent_compile_cache, maybe_force_platform
 
 
 def multiline_input(prompt: str) -> str:
@@ -37,6 +37,7 @@ def multiline_input(prompt: str) -> str:
 
 def main(argv=None):
     maybe_force_platform()
+    enable_persistent_compile_cache()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--prompt-type", type=str, default="demo")
     p.add_argument("--model", choices=MODEL_NAMES, required=True)

@@ -20,7 +20,7 @@ import os
 import numpy as np
 
 from ..utils import vis
-from ..utils.platform import maybe_force_platform
+from ..utils.platform import enable_persistent_compile_cache, maybe_force_platform
 
 _xl_pipe = None
 
@@ -183,6 +183,7 @@ def upsample_video_zsxl(
 
 def main(argv=None):
     maybe_force_platform()
+    enable_persistent_compile_cache()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--run-dir", required=True,
                    help="generation run directory (contains {ind}/video_*.joblib)")

@@ -93,11 +93,76 @@ def _geglu_kernel(x_ref, w1h_ref, w1g_ref, b1h_ref, b1g_ref, w2_ref, b2_ref,
         ).astype(o_ref.dtype)
 
 
+def _geglu_kernel_resident(x_ref, w1h_ref, w1g_ref, b1h_ref, b1g_ref, w2_ref,
+                           b2_ref, o_ref, *, nk, form):
+    # Weights live in VMEM as constant-index blocks (fetched once for the
+    # whole grid); only x/out stream. The k-grid variant refetches every
+    # weight chunk at each row-block transition — ~660 MB of pure weight
+    # traffic per L0 instance (2.51 -> 2.02 ms measured standalone).
+    x = x_ref[...]
+    inner = w2_ref.shape[0]
+    bk = inner // nk
+    acc = None
+    for k in range(nk):
+        sl = slice(k * bk, (k + 1) * bk)
+        h = jax.lax.dot_general(
+            x, w1h_ref[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b1h_ref[0, sl].astype(jnp.float32)
+        g = jax.lax.dot_general(
+            x, w1g_ref[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b1g_ref[0, sl].astype(jnp.float32)
+        inner_act = _gate(h, g, form).astype(x.dtype)
+        part = jax.lax.dot_general(
+            inner_act, w2_ref[sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc = part if acc is None else acc + part
+    o_ref[...] = (acc + b2_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def _fused_rows_resident(x, w1, b1, w2, b2, *, block_m: int, nk: int,
+                         interpret: bool = False):
+    r, c = x.shape
+    inner = w2.shape[0]
+    w1h, w1g = w1[:, :inner], w1[:, inner:]
+    b1h, b1g = b1[None, :inner], b1[None, inner:]
+    full = lambda shape: pl.BlockSpec(
+        shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_geglu_kernel_resident, nk=nk, form=GELU_FORM),
+        grid=(pl.cdiv(r, block_m),),
+        in_specs=[
+            pl.BlockSpec((block_m, c), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            full((c, inner)), full((c, inner)),
+            full((1, inner)), full((1, inner)),
+            full((inner, c)), full((1, c)),
+        ],
+        out_specs=pl.BlockSpec((block_m, c), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((r, c), x.dtype),
+        interpret=interpret,
+    )(x, w1h, w1g, b1h, b1g, w2, b2[None, :])
+
+
 def _fused_rows(x, w1, b1, w2, b2, *, block_m: int = None, block_k: int = None,
                 interpret: bool = False):
     """x: (R, C); w1: (C, 2*inner); w2: (inner, C). Returns (R, C)."""
     r, c = x.shape
     inner = w2.shape[0]
+    # Resident-weights path when w1+w2 fit VMEM alongside the row blocks
+    # (<= ~10 MB: the C=320 and C=640 UNet levels). Measured (standalone,
+    # v5e): L0 2.51 -> 2.02 ms, L1 2.08 -> 1.56 ms.
+    w_bytes = 3 * c * inner * x.dtype.itemsize
+    if block_k is None and w_bytes <= 10 * 1024 * 1024 and inner % 4 == 0:
+        if w_bytes <= 3 * 1024 * 1024:
+            bm, nk = 1024, 1
+        else:
+            bm, nk = 256, 4
+        return _fused_rows_resident(
+            x, w1, b1, w2, b2, block_m=min(bm, r), nk=nk, interpret=interpret)
     if block_k is None:
         # Largest measured-good chunk that tiles the inner dim exactly.
         block_k = 512 if inner % 512 == 0 else 256

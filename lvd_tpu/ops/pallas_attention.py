@@ -53,29 +53,45 @@ def _attn_kernel(q_ref, k_ref, v_ref, scale_smem, o_ref):
     o_ref[0] = (o / s).astype(o_ref.dtype)
 
 
-def _attn_kernel_heads(q_ref, k_ref, v_ref, scale_smem, o_ref, *, num_heads):
+def _attn_kernel_heads(q_ref, k_ref, v_ref, scale_smem, o_ref, *, num_heads,
+                       pipelined: bool = False):
     # Heads-inside variant: blocks carry the full packed channel dim
     # (C = H*D) and the per-head 64-wide slices happen in VMEM, so the
     # caller never pays the (B, S, H*D) -> (B*H, S, D) relayout of
     # q/k/v/out in HBM (measured 7.8 -> 6.2 ms per L0 spatial attention).
+    #
+    # pipelined: compute head h+1's QK logits before head h's softmax+PV so
+    # the MXU runs ahead of the VPU (two f32 logits tiles live at once —
+    # only used when they fit VMEM; 1.07 -> 0.89 ms per L1 instance,
+    # bit-identical). At L0 the extra tile forces block_q <= 192, which
+    # costs more than the overlap wins (5.42 -> 5.76 ms) — stay serial.
     c = q_ref.shape[-1]
     d = c // num_heads
     scale = scale_smem[0] * _LOG2E
-    for h in range(num_heads):
+
+    def logits_of(h):
         sl = slice(h * d, (h + 1) * d)
         q = q_ref[0, :, sl]
         k = k_ref[0, :, sl]
-        v = v_ref[0, :, sl]
         qs = (q.astype(jnp.float32) * scale).astype(q.dtype)
-        logits = jax.lax.dot_general(
+        return jax.lax.dot_general(
             qs, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+
+    logits = logits_of(0) if pipelined else None
+    for h in range(num_heads):
+        if pipelined:
+            cur = logits
+            logits = logits_of(h + 1) if h + 1 < num_heads else None
+        else:
+            cur = logits_of(h)
+        sl = slice(h * d, (h + 1) * d)
         # Clamped no-max softmax (see _attn_kernel).
-        p = jnp.exp2(jnp.minimum(logits, 80.0))
+        p = jnp.exp2(jnp.minimum(cur, 80.0))
         s = jnp.sum(p, axis=-1, keepdims=True)
         o = jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            p.astype(v_ref.dtype), v_ref[0, :, sl], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         o_ref[0, :, sl] = (o / s).astype(o_ref.dtype)
@@ -129,11 +145,17 @@ def _pallas_attention_heads(q, k, v, scale: float, num_heads: int,
         # instance with the no-max softmax); >=384 exceeds scoped VMEM.
         block_q = 320
     block_q = min(block_q, s_q)
+    # Pipelined head loop (prefetch next head's logits) when the second live
+    # f32 logits tile still fits VMEM — i.e. moderate key counts (the L1
+    # 720-token level: 1.07 -> 0.89 ms, bit-identical). The ~2x-longer L0
+    # keys would force block_q down to 192, a net loss.
+    pipelined = 2 * 4 * block_q * s_k <= 4 * 1024 * 1024
     grid = (b, pl.cdiv(s_q, block_q))
     scale_arr = jnp.full((1,), scale, jnp.float32)
 
     return pl.pallas_call(
-        functools.partial(_attn_kernel_heads, num_heads=num_heads),
+        functools.partial(_attn_kernel_heads, num_heads=num_heads,
+                          pipelined=pipelined),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, c), lambda b, i: (b, i, 0),
@@ -368,20 +390,28 @@ def _cross_kernel(q_ref, k_ref, v_ref, scale_smem, o_ref, *,
     skp = kp.shape[0]
     colmask = (jax.lax.iota(jnp.int32, skp)[None, :] < s_k).astype(jnp.float32)
     scale = scale_smem[0] * _LOG2E
-    for h in range(num_heads):
+
+    def logits_of(h):
         sl = slice(h * d, (h + 1) * d)
         q = q_ref[0, :, sl]
-        k = kp[:, sl]
-        v = v_ref[0, :, sl]
         qs = (q.astype(jnp.float32) * scale).astype(q.dtype)
-        logits = jax.lax.dot_general(
-            qs, k, (((1,), (1,)), ((), ())),
+        return jax.lax.dot_general(
+            qs, kp[:, sl], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                # (BQ, SKP)
-        p = jnp.exp2(jnp.minimum(logits, 80.0)) * colmask
+
+    # Prefetch the next head's logits before this head's softmax+PV (the
+    # tiles are small at <=256 keys, so the extra live tile is free VMEM-wise
+    # and the MXU runs ahead of the VPU).
+    logits = logits_of(0)
+    for h in range(num_heads):
+        cur = logits
+        logits = logits_of(h + 1) if h + 1 < num_heads else None
+        sl = slice(h * d, (h + 1) * d)
+        p = jnp.exp2(jnp.minimum(cur, 80.0)) * colmask
         s = jnp.sum(p, axis=-1, keepdims=True)
         o = jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            p.astype(v_ref.dtype), v_ref[0, :, sl], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         o_ref[0, :, sl] = (o / s).astype(o_ref.dtype)

@@ -79,7 +79,7 @@ def test_generate_cli_end_to_end(tmp_path, run_model):
         cmd += ["--gligen_scheduled_sampling_beta", "0.5"]
     result = subprocess.run(
         cmd, cwd=str(tmp_path), env=_env(), capture_output=True, text=True,
-        timeout=900,
+        timeout=1500,
     )
     assert result.returncode == 0, result.stdout[-2000:] + result.stderr[-2000:]
     out_dir = (
@@ -141,7 +141,7 @@ def test_upsample_cli_zsxl(tmp_path):
     ]
     result = subprocess.run(
         cmd, cwd=str(tmp_path), env=_env(), capture_output=True, text=True,
-        timeout=900,
+        timeout=1500,
     )
     assert result.returncode == 0, result.stdout[-1500:] + result.stderr[-1500:]
     out = run_dir / "video_0_zsxl.npz"
