@@ -6,12 +6,15 @@ guidance (max_iter 1 over the first 10 steps) — i.e. 80 CFG UNet forwards +
 10 guidance forward+backward passes + VAE decode of 24 frames. Weights are
 random (identical FLOPs/memory traffic to trained weights).
 
-Prints ONE JSON line:
+Prints ONE JSON line (stderr carries kernel-numerics certification lines):
   {"metric": "sec_per_video", "value": N, "unit": "s", "vs_baseline": 10/N}
 vs_baseline is relative to the 10 s/video north-star (BASELINE.json, v5e-8);
 values > 1.0 beat the target.
 
-Env knobs: LVD_BENCH_TINY=1 (CPU smoke), LVD_BENCH_STEPS, LVD_BENCH_FRAMES.
+Env knobs: LVD_BENCH_TINY=1 (CPU smoke), LVD_BENCH_STEPS, LVD_BENCH_FRAMES,
+LVD_BENCH_MODE=gligen (measure the lvd-gligen_zeroscope path: scheduled-
+sampling GLIGEN grounding, beta=0.4, NO backward guidance — the reference's
+"significantly faster" configuration, README.md:80), LVD_BENCH_SKIP_SELFCHECK=1.
 """
 
 from __future__ import annotations
@@ -37,11 +40,14 @@ def main():
     enable_persistent_compile_cache()
 
     tiny = os.environ.get("LVD_BENCH_TINY") == "1"
+    gligen = os.environ.get("LVD_BENCH_MODE") == "gligen"
     if tiny:
         jax.config.update("jax_platforms", "cpu")
 
     if tiny:
-        models = tiny_pipeline_models()
+        models = tiny_pipeline_models(
+            attention_type="gated" if gligen else "default"
+        )
         steps = int(os.environ.get("LVD_BENCH_STEPS", 6))
         frames = int(os.environ.get("LVD_BENCH_FRAMES", 4))
         dtype = jnp.float32
@@ -53,18 +59,29 @@ def main():
         from lvd_tpu.pipeline import PipelineModels
         from lvd_tpu.text.tokenizer import load_tokenizer
 
-        preset = PRESETS["zeroscope"]
+        preset = PRESETS["lvd-gligen_zeroscope" if gligen else "zeroscope"]
         k = jax.random.split(jax.random.PRNGKey(0), 3)
+        tokenizer = load_tokenizer(None)
+        print(f"bench tokenizer: {type(tokenizer).__name__}", file=sys.stderr)
         models = PipelineModels(
             preset=preset,
             unet_params=unet_mod.init_unet3d(k[0], preset.unet),
             clip_params=clip_mod.init_clip_text(k[1], preset.clip),
             vae_params=vae_mod.init_vae(k[2], preset.vae),
-            tokenizer=load_tokenizer(None),
+            tokenizer=tokenizer,
         )
         steps = int(os.environ.get("LVD_BENCH_STEPS", 40))
         frames = int(os.environ.get("LVD_BENCH_FRAMES", 24))
         dtype = jnp.bfloat16
+
+        # Certify Pallas-kernel numerics on this chip before measuring
+        # (one JSON line per kernel on stderr; VERDICT r2 item 6).
+        if os.environ.get("LVD_BENCH_SKIP_SELFCHECK") != "1":
+            from lvd_tpu.ops.selfcheck import run_all
+
+            assert run_all(out=lambda s: print(s, file=sys.stderr)), (
+                "kernel selfcheck failed — see stderr lines above"
+            )
 
     pipe = TextToVideoPipeline(models, dtype=dtype)
 
@@ -95,6 +112,18 @@ def main():
         "attn_keys": OVERALL_GUIDANCE_ATTN_KEYS,
     }
 
+    if gligen:
+        # lvd-gligen flagship config: grounding via gated self-attention
+        # with scheduled sampling beta=0.4, no backward guidance
+        # (reference README.md:79-87, generation/lvd_gligen.py).
+        kwargs = dict(
+            gligen_boxes=[[b] for b in boxes[0]],
+            gligen_phrases=[["bear"]] * frames,
+            gligen_scheduled_sampling_beta=0.4,
+        )
+    else:
+        kwargs = dict(backward_guidance=backward_guidance)
+
     def run(seed):
         # uint8_device: the decoded frames stay on-device so video i's
         # host transfer (12.7 MB over the tunnel) overlaps video i+1's
@@ -106,8 +135,8 @@ def main():
             num_inference_steps=steps,
             num_frames=frames,
             seed=seed,
-            backward_guidance=backward_guidance,
             output_type="uint8_device",
+            **kwargs,
         )
 
     import numpy as np
@@ -129,7 +158,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "sec_per_video",
+                "metric": "sec_per_video_gligen" if gligen else "sec_per_video",
                 "value": round(sec, 3),
                 "unit": "s",
                 "vs_baseline": round(10.0 / sec, 3),

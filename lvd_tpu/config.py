@@ -169,6 +169,23 @@ def tiny_unet_config(attention_type: str = "default") -> UNet3DConfig:
     )
 
 
+def dryrun_unet_config(attention_type: str = "default") -> UNet3DConfig:
+    """Smallest config with the full mechanism set (down/mid/up, skip wiring,
+    spatial+temporal transformers, temp convs) for the driver's multi-chip
+    dry run — 2 blocks x 1 layer so cold XLA-CPU compiles stay within the
+    driver budget (the 4-block tiny config timed it out in round 2)."""
+    return UNet3DConfig(
+        block_out_channels=(16, 32),
+        layers_per_block=1,
+        cross_attention_dim=32,
+        attention_head_dim=8,
+        norm_num_groups=4,
+        transformer_in_num_heads=1,
+        attention_type=attention_type,
+        gligen_positive_len=32,
+    )
+
+
 def tiny_clip_config() -> CLIPTextConfig:
     return CLIPTextConfig(
         vocab_size=49408,

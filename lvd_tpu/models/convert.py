@@ -774,6 +774,20 @@ def convert_checkpoint(src: str, dst: str, gated: bool = False,
 
     # VAE
     vae_cfg = VAEConfig()
+    vae_cfg_path = os.path.join(src, "vae", "config.json")
+    if os.path.exists(vae_cfg_path):
+        hf = json.load(open(vae_cfg_path))
+        vae_cfg = VAEConfig(
+            in_channels=hf.get("in_channels", 3),
+            out_channels=hf.get("out_channels", 3),
+            latent_channels=hf.get("latent_channels", 4),
+            block_out_channels=tuple(
+                hf.get("block_out_channels", (128, 256, 512, 512))
+            ),
+            layers_per_block=hf.get("layers_per_block", 2),
+            norm_num_groups=hf.get("norm_num_groups", 32),
+            scaling_factor=hf.get("scaling_factor", 0.18215),
+        )
     sd = RecordingStateDict(
         load_torch_state_dict(_find_weights(os.path.join(src, "vae")))
     )

@@ -40,9 +40,12 @@ class PipelineModels:
 
 class TextToVideoPipeline:
     def __init__(self, models: PipelineModels, dtype=jnp.float32, mesh=None):
-        """``mesh``: optional jax Mesh with a "data" axis — unguided/
-        un-grounded sampling then runs frame-sharded (sequence-parallel)
-        across it via shard_map; guided paths fall back to single-device."""
+        """``mesh``: optional jax Mesh with a "data" axis — sampling then
+        runs frame-sharded (sequence-parallel) across it via shard_map.
+        This covers ALL paths: unguided, GLIGEN-grounded, and
+        backward-guided (incl. the frame-coupled CoM/attn-sync energy
+        terms, which ppermute their boundary frames) — equivalence vs the
+        single-device result is tested in tests/test_parallel.py."""
         self.m = models
         self.preset = models.preset
         self.dtype = dtype
