@@ -58,6 +58,11 @@ class GuidanceConfig:
     smooth_attn: bool = False
     smooth_kernel_size: int = 3
     smooth_sigma: float = 0.5
+    # Rematerialization policy of the energy UNet walk for jax.grad:
+    # "selective" checkpoints each layer keeping named attention/conv
+    # outputs (lowest memory); "none" saves everything (fastest backward —
+    # the cond-only truncated walk's activations fit v5e HBM comfortably).
+    energy_remat: str = "none"
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))

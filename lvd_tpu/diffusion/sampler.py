@@ -119,7 +119,7 @@ def sample_video(
                 cond_text,
                 capture_keys=keys,
                 capture_only=True,
-                remat=True,
+                remat=g_cfg.energy_remat != "none",
                 spmd_axis=spmd_axis,
             )
             return (

@@ -216,11 +216,17 @@ class WordHashTokenizer:
 
 
 def load_tokenizer(checkpoint_dir: str | None = None):
-    """Best-effort tokenizer: real CLIP BPE when vocab files exist, otherwise
-    the offline fallback."""
+    """Best-effort tokenizer: the checkpoint's CLIP BPE when vocab files
+    exist, else the bundled offline-learned BPE assets (text/make_vocab.py —
+    the real BPE code path with a corpus-learned merge table), else the
+    WordHash fallback."""
     if checkpoint_dir:
         try:
             return ClipBpeTokenizer.from_pretrained_dir(checkpoint_dir)
         except FileNotFoundError:
             pass
-    return WordHashTokenizer()
+    assets = os.path.join(os.path.dirname(os.path.abspath(__file__)), "assets")
+    try:
+        return ClipBpeTokenizer.from_pretrained_dir(assets)
+    except FileNotFoundError:
+        return WordHashTokenizer()
