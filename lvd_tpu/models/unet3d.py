@@ -43,7 +43,10 @@ from jax.ad_checkpoint import checkpoint_name
 
 from ..config import UNet3DConfig
 from ..ops.attention import attention
-from ..ops.temporal_attention import temporal_attention_pair
+from ..ops.temporal_attention import (
+    supported_frames_major as ta_supported_frames_major,
+    temporal_attention_pair,
+)
 from ..ops.basic import (
     conv2d,
     conv3d,
@@ -354,21 +357,25 @@ def _spatial_transformer(p, x, context, num_heads, cfg, *, key, capture_keys, au
     return y.reshape(n, h, w, c) + residual
 
 
-def _temporal_attention_block(p, y, num_heads, ln_eps: float = 1e-5):
+def _temporal_attention_block(p, y, num_heads, ln_eps: float = 1e-5,
+                              frames_major: bool = False):
     """One double-self-attention BasicTransformerBlock over the frame axis,
-    computed in a pixels-major (B, P, F, C) layout.
+    computed in a pixels-major (B, P, F, C) layout — or directly on the
+    frames-major (B, F, P, C) stream when the Pallas kernel is available
+    (``frames_major``), which permutes each VMEM tile in-kernel instead.
 
     The reference transposes pixels into the batch dim ((B*H*W, F, C),
     transformer_temporal.py:143-158) around EVERY attention; here the caller
-    transposes once per temporal transformer, and on TPU both LN+attention
-    stages run inside one Pallas kernel that packs G pixels per program into
-    a block-diagonal (G*F, G*F) frame attention (ops/temporal_attention.py)
-    — the (B, P, F, C) stream makes one HBM round trip per attention pair
-    instead of ~10 (LN/qkv/concat/out per attention). The FF stays on the
-    fused GEGLU kernel.
+    transposes at most once per temporal transformer, and on TPU both
+    LN+attention stages run inside one Pallas kernel that packs G pixels per
+    program into a block-diagonal (G*F, G*F) frame attention
+    (ops/temporal_attention.py) — the stream makes one HBM round trip per
+    attention pair instead of ~10 (LN/qkv/concat/out per attention). The FF
+    stays on the fused GEGLU kernel (layout-agnostic: per-row over C).
     """
     y = checkpoint_name(
-        temporal_attention_pair(p, y, num_heads, ln_eps), "attn_out"
+        temporal_attention_pair(p, y, num_heads, ln_eps,
+                                frames_major=frames_major), "attn_out"
     )
     y = y + checkpoint_name(
         feed_forward(p["ff"], layer_norm(p["norm3"], y, ln_eps)), "ff_out"
@@ -413,12 +420,17 @@ def _temporal_transformer(p, x, num_frames, num_heads, cfg, spmd_axis=None):
     y = linear(p["proj_in"], y)
     if spmd_axis is not None:
         y, orig_p = _a2a_frames_to_pixels(y, spmd_axis)
-    # Single (B, F, P, C) -> (B, P, F, C) relayout per temporal transformer;
-    # the blocks run pixels-major (see _temporal_attention_block).
-    y = y.transpose(0, 2, 1, 3)
+    # When the fused pair kernel is available it consumes the frames-major
+    # stream directly (in-VMEM tile permutation); otherwise one
+    # (B, F, P, C) -> (B, P, F, C) relayout per temporal transformer and the
+    # blocks run pixels-major (see _temporal_attention_block).
+    fm = ta_supported_frames_major(y, num_heads)
+    if not fm:
+        y = y.transpose(0, 2, 1, 3)
     for block in p["blocks"]:
-        y = _temporal_attention_block(block, y, num_heads)
-    y = y.transpose(0, 2, 1, 3)
+        y = _temporal_attention_block(block, y, num_heads, frames_major=fm)
+    if not fm:
+        y = y.transpose(0, 2, 1, 3)
     if spmd_axis is not None:
         y = _a2a_pixels_to_frames(y, spmd_axis, orig_p)
     y = linear(p["proj_out"], y)

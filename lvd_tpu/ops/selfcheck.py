@@ -187,6 +187,44 @@ def check_temporal_pair(key):
     return run(params, y)
 
 
+def check_temporal_pair_fm(key):
+    """Frames-major variant of the fused temporal pair kernel (in-VMEM tile
+    permutation) vs the unfused pixels-major formulation."""
+    from .temporal_attention import (
+        _pair_ref, supported_frames_major, temporal_attention_pair)
+
+    b, p_dim, f, c, nh = 2, 160, 24, 320, 5
+    keys = jax.random.split(key, 16)
+    it = iter(keys)
+
+    def lin(cin, cout, bias=True):
+        d = {"w": jax.random.normal(next(it), (cin, cout), jnp.bfloat16) * 0.1}
+        if bias:
+            d["b"] = jax.random.normal(next(it), (cout,), jnp.bfloat16) * 0.01
+        return d
+
+    def attn():
+        return {"to_q": lin(c, c, bias=False), "to_k": lin(c, c, bias=False),
+                "to_v": lin(c, c, bias=False), "to_out": lin(c, c)}
+
+    def norm():
+        return {"scale": 1.0 + 0.1 * jax.random.normal(next(it), (c,), jnp.bfloat16),
+                "bias": 0.1 * jax.random.normal(next(it), (c,), jnp.bfloat16)}
+
+    params = {"norm1": norm(), "norm2": norm(), "attn1": attn(), "attn2": attn()}
+    y = jax.random.normal(next(it), (b, f, p_dim, c), jnp.bfloat16)
+    assert supported_frames_major(y, nh), (
+        "frames-major temporal pair kernel not engaged at this shape")
+
+    @jax.jit
+    def run(params, y):
+        got = temporal_attention_pair(params, y, nh, frames_major=True)
+        want = _pair_ref(params, y.transpose(0, 2, 1, 3), nh, 1e-5)
+        return _divergence(got.transpose(0, 2, 1, 3), want)
+
+    return run(params, y)
+
+
 def check_geglu(key):
     """Fused GEGLU MLP kernel vs unfused XLA formulation."""
     from .geglu_fused import _fused_rows, _unfused
@@ -234,6 +272,7 @@ CHECKS = {
     "flash_heads": check_heads,
     "flash_shortkey": check_shortkey,
     "temporal_pair": check_temporal_pair,
+    "temporal_pair_fm": check_temporal_pair_fm,
     "geglu_fused": check_geglu,
     "temp_conv_fused": check_temp_conv,
 }

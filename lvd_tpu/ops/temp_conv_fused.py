@@ -23,29 +23,72 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(x_ref, a_ref, b_ref, w_ref, bias_ref, o_ref):
+def _kernel(x_ref, a_ref, b_ref, w_ref, bias_ref, o_ref, *, nb: int = 1):
+    # nb > 1 splits the pixel tile into chunks and computes chunk k+1's
+    # affine+SiLU (VPU) ahead of chunk k's 3 taps (MXU) in program order, so
+    # Mosaic overlaps the units instead of serializing the silu pass with
+    # the dots (measured L0: 0.70 -> 0.58 ms/instance at nb=4).
     x = x_ref[0]                      # (F, bp, C)
     f, bp, c = x.shape
+    bpc = bp // nb
     a = a_ref[0, 0].astype(jnp.float32)  # (C,)
     b = b_ref[0, 0].astype(jnp.float32)
-    z = x.astype(jnp.float32) * a[None, None, :] + b[None, None, :]
-    z = (z * jax.nn.sigmoid(z)).astype(x.dtype)  # silu
 
-    zero = jnp.zeros((1, bp, c), z.dtype)
-    zprev = jnp.concatenate([zero, z[:-1]], axis=0).reshape(f * bp, c)
-    znext = jnp.concatenate([z[1:], zero], axis=0).reshape(f * bp, c)
+    def mk_z(k):
+        xs = x[:, k * bpc:(k + 1) * bpc]
+        z = xs.astype(jnp.float32) * a[None, None, :] + b[None, None, :]
+        return (z * jax.nn.sigmoid(z)).astype(x.dtype)  # silu
+
+    dn = (((1,), (0,)), ((), ()))
+    cur = mk_z(0)
+    for k in range(nb):
+        nxt = mk_z(k + 1) if k + 1 < nb else None
+        z = cur
+        zero = jnp.zeros((1, bpc, c), z.dtype)
+        zprev = jnp.concatenate([zero, z[:-1]], axis=0).reshape(f * bpc, c)
+        znext = jnp.concatenate([z[1:], zero], axis=0).reshape(f * bpc, c)
+        zf = z.reshape(f * bpc, c)
+        acc = jax.lax.dot_general(zprev, w_ref[0], dn,
+                                  preferred_element_type=jnp.float32)
+        acc += jax.lax.dot_general(zf, w_ref[1], dn,
+                                   preferred_element_type=jnp.float32)
+        acc += jax.lax.dot_general(znext, w_ref[2], dn,
+                                   preferred_element_type=jnp.float32)
+        acc += bias_ref[0, 0].astype(jnp.float32)[None, :]
+        # With output-channel blocking (C > 640) the out block is narrower.
+        out = acc.reshape(f, bpc, o_ref.shape[-1]).astype(o_ref.dtype)
+        if nb == 1:
+            o_ref[0] = out
+        else:
+            o_ref[0, :, k * bpc:(k + 1) * bpc] = out
+        cur = nxt
+
+
+def _kernel_rowshift(x_ref, a_ref, b_ref, w_ref, bias_ref, o_ref, acc_ref):
+    # Row-shifted-taps variant: one silu pass, the prev/next taps realized
+    # as shifted dots accumulated into an fp32 scratch — no zprev/znext
+    # concat copies. Wins at the mid/wide levels (L1 0.27 -> 0.22 ms).
+    x = x_ref[0]                      # (F, bp, C)
+    f, bp, c = x.shape
+    a = a_ref[0, 0].astype(jnp.float32)
+    b = b_ref[0, 0].astype(jnp.float32)
+    z = x.astype(jnp.float32) * a[None, None, :] + b[None, None, :]
+    z = (z * jax.nn.sigmoid(z)).astype(x.dtype)
     zf = z.reshape(f * bp, c)
 
     dn = (((1,), (0,)), ((), ()))
-    acc = jax.lax.dot_general(zprev, w_ref[0], dn,
-                              preferred_element_type=jnp.float32)
-    acc += jax.lax.dot_general(zf, w_ref[1], dn,
-                               preferred_element_type=jnp.float32)
-    acc += jax.lax.dot_general(znext, w_ref[2], dn,
-                               preferred_element_type=jnp.float32)
-    acc += bias_ref[0, 0].astype(jnp.float32)[None, :]
-    # With output-channel blocking (C > 640) the out block is narrower than C.
-    o_ref[0] = acc.reshape(f, bp, o_ref.shape[-1]).astype(o_ref.dtype)
+    co = o_ref.shape[-1]
+    acc_ref[...] = jax.lax.dot_general(
+        zf, w_ref[1], dn, preferred_element_type=jnp.float32)
+    # tap from the previous frame: out rows [bp:] accumulate z rows [:-bp]
+    acc_ref[bp:, :] += jax.lax.dot_general(
+        zf[: (f - 1) * bp], w_ref[0], dn, preferred_element_type=jnp.float32)
+    # tap from the next frame: out rows [:-bp] accumulate z rows [bp:]
+    acc_ref[: (f - 1) * bp, :] += jax.lax.dot_general(
+        zf[bp:], w_ref[2], dn, preferred_element_type=jnp.float32)
+    o_ref[0] = (
+        acc_ref[...] + bias_ref[0, 0].astype(jnp.float32)[None, :]
+    ).reshape(f, bp, co).astype(o_ref.dtype)
 
 
 def _block_p_for(c: int) -> int:
@@ -75,9 +118,24 @@ def _fused(x, a, b, w, bias, *, block_p: int = None, interpret: bool = False):
     block_co = _block_co_for(c)
     grid = (bsz, pl.cdiv(p, block_p), c // block_co)
 
+    # Variant selection (measured per-level on v5e, see kernel docstrings):
+    # narrow levels overlap VPU/MXU via chunked pipelining; mid levels win
+    # with the scratch-accumulate row-shift form; wide levels keep the
+    # simple single-pass kernel.
+    if c <= 384 and block_p % 4 == 0:
+        kernel = functools.partial(_kernel, nb=4)
+        scratch = []
+    elif c <= 640:
+        kernel = _kernel_rowshift
+        scratch = [pltpu.VMEM((f * block_p, block_co), jnp.float32)]
+    else:
+        kernel = _kernel
+        scratch = []
+
     return pl.pallas_call(
-        _kernel,
+        kernel,
         grid=grid,
+        scratch_shapes=scratch,
         in_specs=[
             # x/a/b blocks are co-invariant: Pallas re-fetches nothing when
             # only the innermost (co) grid index advances.

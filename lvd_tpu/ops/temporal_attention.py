@@ -88,10 +88,17 @@ def _one_attn(x, wqkv_ref, wo_ref, bo_ref, mask01, num_heads: int,
 def _tattn_kernel(y_ref,
                   ln1s_ref, ln1b_ref, wqkv1_ref, wo1_ref, bo1_ref,
                   ln2s_ref, ln2b_ref, wqkv2_ref, wo2_ref, bo2_ref,
-                  o_ref, *, g: int, f: int, num_heads: int, eps: float):
+                  o_ref, *, g: int, f: int, num_heads: int, eps: float,
+                  frames_major: bool = False):
     r = g * f
     c = y_ref.shape[-1]
-    x = y_ref[0].reshape(r, c)
+    x = y_ref[0]
+    if frames_major:
+        # (F, g, C) tile straight out of the frames-major HBM stream; the
+        # pixel-major permutation happens on the VMEM tile (245 KB at L0)
+        # instead of as a (B, P, F, C) relayout of the whole activation.
+        x = x.transpose(1, 0, 2)
+    x = x.reshape(r, c)
     # Block-diagonal 0/1 mask: row i attends to col j iff same pixel
     # (i//F == j//F); applied multiplicatively after exp2.
     row = jax.lax.broadcasted_iota(jnp.int32, (r, r), 0)
@@ -103,7 +110,10 @@ def _tattn_kernel(y_ref,
                       wqkv1_ref, wo1_ref, bo1_ref, mask01, num_heads, scale)
     x = x + _one_attn(_ln(x, ln2s_ref, ln2b_ref, eps),
                       wqkv2_ref, wo2_ref, bo2_ref, mask01, num_heads, scale)
-    o_ref[0] = x.reshape(g, f, c)
+    out = x.reshape(g, f, c)
+    if frames_major:
+        out = out.transpose(1, 0, 2)
+    o_ref[0] = out
 
 
 def _split_heads_wo(w, num_heads: int):
@@ -124,9 +134,14 @@ def _attn_inputs(pa, num_heads, dtype):
 
 
 def _pallas_pair(p, y, num_heads: int, g: int, eps: float,
-                 interpret: bool = False):
-    """y: (B, P, F, C) pixels-major; runs both self-attentions fused."""
-    b, pdim, f, c = y.shape
+                 frames_major: bool = False, interpret: bool = False):
+    """y: (B, P, F, C) pixels-major — or (B, F, P, C) when ``frames_major``
+    (the kernel permutes each VMEM tile instead of the caller relayouting
+    the whole stream in HBM); runs both self-attentions fused."""
+    if frames_major:
+        b, f, pdim, c = y.shape
+    else:
+        b, pdim, f, c = y.shape
     n_tiles = pdim // g
     dt = y.dtype
 
@@ -142,15 +157,20 @@ def _pallas_pair(p, y, num_heads: int, g: int, eps: float,
         *_attn_inputs(p["attn2"], num_heads, dt),
     )
     const = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
-    specs = [pl.BlockSpec((1, g, f, c), lambda i, j: (i, j, 0, 0),
-                          memory_space=pltpu.VMEM)]
+    if frames_major:
+        tile = pl.BlockSpec((1, f, g, c), lambda i, j: (i, 0, j, 0),
+                            memory_space=pltpu.VMEM)
+    else:
+        tile = pl.BlockSpec((1, g, f, c), lambda i, j: (i, j, 0, 0),
+                            memory_space=pltpu.VMEM)
+    specs = [tile]
     specs += [const() for _ in range(10)]
     return pl.pallas_call(
-        functools.partial(_tattn_kernel, g=g, f=f, num_heads=num_heads, eps=eps),
+        functools.partial(_tattn_kernel, g=g, f=f, num_heads=num_heads,
+                          eps=eps, frames_major=frames_major),
         grid=(b, n_tiles),
         in_specs=specs,
-        out_specs=pl.BlockSpec((1, g, f, c), lambda i, j: (i, j, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=tile,
         out_shape=jax.ShapeDtypeStruct(y.shape, dt),
         interpret=interpret,
     )(*inputs)
@@ -200,18 +220,28 @@ def _pair_ref(p, y, num_heads, eps):
     return y
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def _fused_pair(p, y, num_heads, g, eps):
-    return _pallas_pair(p, y, num_heads, g, eps)
+def _pair_ref_fm(p, y, num_heads, eps):
+    """Frames-major reference: transpose wrappers around `_pair_ref` (the
+    transposes are gradient-transparent, so VJP semantics stay the unfused
+    pixels-major formulation exactly)."""
+    yt = y.transpose(0, 2, 1, 3)
+    return _pair_ref(p, yt, num_heads, eps).transpose(0, 2, 1, 3)
 
 
-def _fused_pair_fwd(p, y, num_heads, g, eps):
-    return _pallas_pair(p, y, num_heads, g, eps), (p, y)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _fused_pair(p, y, num_heads, g, eps, frames_major):
+    return _pallas_pair(p, y, num_heads, g, eps, frames_major=frames_major)
 
 
-def _fused_pair_bwd(num_heads, g, eps, res, ct):
+def _fused_pair_fwd(p, y, num_heads, g, eps, frames_major):
+    return _pallas_pair(p, y, num_heads, g, eps,
+                        frames_major=frames_major), (p, y)
+
+
+def _fused_pair_bwd(num_heads, g, eps, frames_major, res, ct):
     p, y = res
-    _, vjp = jax.vjp(lambda p, y: _pair_ref(p, y, num_heads, eps), p, y)
+    ref = _pair_ref_fm if frames_major else _pair_ref
+    _, vjp = jax.vjp(lambda p, y: ref(p, y, num_heads, eps), p, y)
     return vjp(ct)
 
 
@@ -229,25 +259,42 @@ def _pick_g(pdim: int) -> int:
     return 0
 
 
-def supported(y, num_heads: int) -> bool:
-    b, pdim, f, c = y.shape
+def _supported(pdim: int, c: int, num_heads: int, dtype) -> bool:
     d = c // num_heads
     # Measured: with the fused-qkv projection the kernel wins through C=640
     # (g=16: 2.07 vs 2.50 ms XLA at L1). C=1280 would blow the VMEM weight
     # budget (26 MB of projection weights per pair).
     return (
         jax.default_backend() == "tpu"
-        and y.dtype in (jnp.bfloat16, jnp.float32)
+        and dtype in (jnp.bfloat16, jnp.float32)
         and d == 64
         and c <= 640
         and _pick_g(pdim) > 0
     )
 
 
-def temporal_attention_pair(p, y, num_heads: int, eps: float = 1e-5):
+def supported(y, num_heads: int) -> bool:
+    b, pdim, f, c = y.shape
+    return _supported(pdim, c, num_heads, y.dtype)
+
+
+def supported_frames_major(y, num_heads: int) -> bool:
+    """Same kernel gate for (B, F, P, C) input."""
+    b, f, pdim, c = y.shape
+    return _supported(pdim, c, num_heads, y.dtype)
+
+
+def temporal_attention_pair(p, y, num_heads: int, eps: float = 1e-5,
+                            frames_major: bool = False):
     """Both self-attentions of a temporal BasicTransformerBlock on
-    (B, P, F, C) input. Fused Pallas kernel on TPU, unfused XLA elsewhere.
-    The FF stage stays outside (ops.geglu_fused handles it)."""
+    (B, P, F, C) input — or (B, F, P, C) with ``frames_major``, which skips
+    the caller-side HBM relayout by permuting each VMEM tile in-kernel.
+    Fused Pallas kernel on TPU, unfused XLA elsewhere. The FF stage stays
+    outside (ops.geglu_fused handles it)."""
+    if frames_major:
+        if supported_frames_major(y, num_heads):
+            return _fused_pair(p, y, num_heads, _pick_g(y.shape[2]), eps, True)
+        return _pair_ref_fm(p, y, num_heads, eps)
     if supported(y, num_heads):
-        return _fused_pair(p, y, num_heads, _pick_g(y.shape[1]), eps)
+        return _fused_pair(p, y, num_heads, _pick_g(y.shape[1]), eps, False)
     return _pair_ref(p, y, num_heads, eps)

@@ -46,6 +46,40 @@ def test_kernel_matches_reference():
                                rtol=2e-4, atol=2e-5)
 
 
+def test_frames_major_kernel_matches_reference():
+    """The frames-major variant (in-VMEM tile permutation) must reproduce
+    the pixels-major pair on the transposed input."""
+    rng = np.random.default_rng(7)
+    c, heads, g = 128, 2, 5
+    b, pdim, f = 2, 10, 6
+    p = _params(rng, c)
+    y_fm = jnp.asarray(rng.standard_normal((b, f, pdim, c)), jnp.float32)
+
+    got = ta._pallas_pair(p, y_fm, heads, g, 1e-5, frames_major=True,
+                          interpret=True)
+    want = ta._pair_ref(p, y_fm.transpose(0, 2, 1, 3), heads, 1e-5)
+    np.testing.assert_allclose(np.asarray(got.transpose(0, 2, 1, 3)),
+                               np.asarray(want), rtol=2e-4, atol=2e-5)
+
+
+def test_frames_major_gradients_are_reference_gradients():
+    """Frames-major VJP must equal the reference gradients (transposes are
+    gradient-transparent)."""
+    rng = np.random.default_rng(8)
+    c, heads = 128, 2
+    p = _params(rng, c)
+    y_fm = jnp.asarray(rng.standard_normal((1, 4, 5, c)), jnp.float32)
+    ct = jnp.asarray(rng.standard_normal((1, 4, 5, c)), jnp.float32)
+    _, vjp_ref = jax.vjp(
+        lambda p, y: ta._pair_ref(
+            p, y.transpose(0, 2, 1, 3), heads, 1e-5).transpose(0, 2, 1, 3),
+        p, y_fm)
+    want = vjp_ref(ct)
+    got = ta._fused_pair_bwd(heads, 5, 1e-5, True, (p, y_fm), ct)
+    for a, b in zip(jax.tree_util.tree_leaves(got), jax.tree_util.tree_leaves(want)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6)
+
+
 def test_pixel_independence():
     """Changing one pixel's frames must not change any other pixel's output
     (the -inf mask must isolate the per-pixel blocks)."""
@@ -71,7 +105,7 @@ def test_gradients_are_reference_gradients():
     ct = jnp.asarray(rng.standard_normal((1, 5, 4, c)), jnp.float32)
     _, vjp_ref = jax.vjp(lambda p, y: ta._pair_ref(p, y, heads, 1e-5), p, y)
     want = vjp_ref(ct)
-    got = ta._fused_pair_bwd(heads, 5, 1e-5, (p, y), ct)
+    got = ta._fused_pair_bwd(heads, 5, 1e-5, False, (p, y), ct)
     for a, b in zip(jax.tree_util.tree_leaves(got), jax.tree_util.tree_leaves(want)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6)
 
