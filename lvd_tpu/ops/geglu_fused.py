@@ -63,6 +63,22 @@ def _gate(h, g, form: str):
     return h * (_gelu_tanh(g) if form == "tanh" else _gelu_exact(g))
 
 
+def _gelu_val_grad(g, form: str):
+    """(gelu(g), gelu'(g)) in fp32, closed form (both GELU_FORM variants).
+    Algebraically identical to AD through _gelu_tanh/_gelu_exact."""
+    if form == "tanh":
+        # u = g * sigmoid(a*z), z = g + 0.044715 g^3, a = 2*sqrt(2/pi)
+        a = 1.5957691216057308
+        z = g + 0.044715 * g * g * g
+        sig = 1.0 / (1.0 + jnp.exp2(-2.302208563834158 * z))
+        dz = 1.0 + 3.0 * 0.044715 * g * g
+        return g * sig, sig + g * sig * (1.0 - sig) * a * dz
+    phi_c = 0.3989422804014327  # 1/sqrt(2*pi)
+    cdf = 0.5 * (1.0 + _erf_poly(g * (2.0 ** -0.5)))
+    pdf = phi_c * jnp.exp(-0.5 * g * g)
+    return g * cdf, cdf + g * pdf
+
+
 def _geglu_kernel(x_ref, w1h_ref, w1g_ref, b1h_ref, b1g_ref, w2_ref, b2_ref,
                   o_ref, acc_ref, *, nk, form):
     k = pl.program_id(1)
@@ -173,9 +189,11 @@ def _fused_rows(x, w1, b1, w2, b2, *, block_m: int = None, block_k: int = None,
         if w_bytes <= 3 * 1024 * 1024:
             bm, nk = 1024, 1
         else:
-            # Two pipelined chunks beat four serial ones (the second live
-            # fp32 h/g tile pays off once the MXU/VPU overlap engages).
-            bm, nk = 512, 2
+            # Round-3 sweep (tools/sweep_geglu.py, real chip): bm=512/nk=1
+            # 1.470 ms vs nk=2 1.499 / nk=4 1.499 at the L1 shape — with the
+            # weights resident a single unchunked pass edges out the
+            # software-pipelined chunk loop.
+            bm, nk = 512, 1
         return _fused_rows_resident(
             x, w1, b1, w2, b2, block_m=min(bm, r), nk=nk, interpret=interpret)
     if block_k is None:
@@ -219,6 +237,83 @@ def _fused_rows(x, w1, b1, w2, b2, *, block_m: int = None, block_k: int = None,
     )(x, w1h, w1g, b1h, b1g, w2, b2[None, :])
 
 
+def _geglu_bwd_kernel_resident(x_ref, dy_ref, w1h_ref, w1g_ref, b1h_ref,
+                               b1g_ref, w2_ref, dx_ref, *, nk, form):
+    # dx-only backward with resident weights: per row tile, each inner chunk
+    # recomputes h/g, forms d_inner = dy @ w2[sl]^T, gates it, and
+    # accumulates dx += dh @ w1h[:,sl]^T + dg @ w1g[:,sl]^T — the 4x-wide
+    # inner activation (and its cotangent) never touch HBM. Weight/bias
+    # gradients are NOT computed here; the caller derives them from the
+    # unfused recompute branch, which XLA dead-code-eliminates entirely in
+    # the latent-only guidance grad.
+    x = x_ref[...]
+    dy = dy_ref[...]
+    inner = w2_ref.shape[0]
+    bk = inner // nk
+    acc = None
+    for k in range(nk):
+        sl = slice(k * bk, (k + 1) * bk)
+        h = jax.lax.dot_general(
+            x, w1h_ref[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b1h_ref[0, sl].astype(jnp.float32)
+        g = jax.lax.dot_general(
+            x, w1g_ref[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b1g_ref[0, sl].astype(jnp.float32)
+        d_inner = jax.lax.dot_general(
+            dy, w2_ref[sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                              # (bm, bk)
+        u, du = _gelu_val_grad(g, form)
+        dh = (d_inner * u).astype(x.dtype)
+        dg = (d_inner * h * du).astype(x.dtype)
+        part = jax.lax.dot_general(
+            dh, w1h_ref[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + jax.lax.dot_general(
+            dg, w1g_ref[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc = part if acc is None else acc + part
+    dx_ref[...] = acc.astype(dx_ref.dtype)
+
+
+def _fused_rows_bwd_resident(x, dy, w1, b1, w2, *, block_m: int = None,
+                             nk: int = None, interpret: bool = False):
+    """dx of the GEGLU MLP on (R, C) rows; weights resident in VMEM."""
+    r, c = x.shape
+    inner = w2.shape[0]
+    if nk is None:
+        # Three live fp32 (bm, inner/nk) chunks: keep them ~<=4 MB total.
+        nk = 1
+        while (3 * 4 * 512 * (inner // nk) > 4 * 1024 * 1024
+               and nk < 8 and inner % (2 * nk) == 0):
+            nk *= 2
+    if block_m is None:
+        block_m = 512
+    block_m = min(block_m, r)
+    w1h, w1g = w1[:, :inner], w1[:, inner:]
+    b1h, b1g = b1[None, :inner], b1[None, inner:]
+    full = lambda shape: pl.BlockSpec(
+        shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+    tile = pl.BlockSpec((block_m, c), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_geglu_bwd_kernel_resident, nk=nk, form=GELU_FORM),
+        grid=(pl.cdiv(r, block_m),),
+        in_specs=[
+            tile, tile,
+            full((c, inner)), full((c, inner)),
+            full((1, inner)), full((1, inner)),
+            full((inner, c)),
+        ],
+        out_specs=tile,
+        out_shape=jax.ShapeDtypeStruct((r, c), x.dtype),
+        interpret=interpret,
+    )(x, dy, w1h, w1g, b1h, b1g, w2)
+
+
 def _unfused(x, w1, b1, w2, b2):
     h = jnp.dot(x, w1, preferred_element_type=x.dtype) + b1.astype(x.dtype)
     a, gate = jnp.split(h, 2, axis=-1)
@@ -238,7 +333,19 @@ def _fused_fwd(x, w1, b1, w2, b2):
 def _fused_bwd(res, g):
     x, w1, b1, w2, b2 = res
     _, vjp = jax.vjp(_unfused, x, w1, b1, w2, b2)
-    return vjp(g)
+    dx, dw1, db1, dw2, db2 = vjp(g)
+    # On TPU, when the resident-weights form applies, compute dx with the
+    # streaming Pallas kernel instead — the unfused dx chain (and, in the
+    # latent-only guidance grad, the whole recompute above) is then dead
+    # code XLA removes. Training grads (dw/db) still come from the unfused
+    # recompute, keeping exact unfused weight-gradient semantics.
+    c = x.shape[-1]
+    inner = w2.shape[0]
+    w_bytes = 3 * c * inner * x.dtype.itemsize
+    if (jax.default_backend() == "tpu"
+            and w_bytes <= 10 * 1024 * 1024 and inner % 8 == 0):
+        dx = _fused_rows_bwd_resident(x, g.astype(x.dtype), w1, b1, w2)
+    return dx, dw1, db1, dw2, db2
 
 
 _fused.defvjp(_fused_fwd, _fused_bwd)
@@ -256,6 +363,12 @@ def supported(w1, w2, x) -> bool:
         and inner % 256 == 0
         and c % 8 == 0
         and rows >= 2048
+        # Only where the resident-weights form applies (C<=640). At C=1280
+        # the k-grid streaming variant measured *slower* than XLA's unfused
+        # formulation at every swept block config (1.64-1.79 vs 1.56 ms,
+        # tools/sweep_geglu.py round 3) — the weight refetch per row block
+        # costs more than the saved inner-activation round-trip there.
+        and 3 * c * inner * x.dtype.itemsize <= 10 * 1024 * 1024
     )
 
 

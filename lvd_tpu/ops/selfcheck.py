@@ -245,6 +245,28 @@ def check_geglu(key):
     return run(x, w1, b1, w2, b2)
 
 
+def check_geglu_bwd(key):
+    """dx-only GEGLU backward kernel vs the unfused vjp's dx."""
+    from .geglu_fused import _fused_rows_bwd_resident, _unfused
+
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    rows, c, inner = 4096, 320, 1280
+    x = jax.random.normal(k1, (rows, c), jnp.bfloat16)
+    dy = jax.random.normal(k4, (rows, c), jnp.bfloat16)
+    w1 = jax.random.normal(k2, (c, 2 * inner), jnp.bfloat16) * 0.05
+    b1 = jnp.zeros((2 * inner,), jnp.bfloat16)
+    w2 = jax.random.normal(k3, (inner, c), jnp.bfloat16) * 0.05
+    b2 = jnp.zeros((c,), jnp.bfloat16)
+
+    @jax.jit
+    def run(x, dy, w1, b1, w2, b2):
+        dx_k = _fused_rows_bwd_resident(x, dy, w1, b1, w2)
+        dx_u = jax.vjp(_unfused, x, w1, b1, w2, b2)[1](dy)[0]
+        return _divergence(dx_k, dx_u)
+
+    return run(x, dy, w1, b1, w2, b2)
+
+
 def check_temp_conv(key):
     """Fused GN-apply+SiLU+(3,1,1)-conv kernel vs unfused XLA formulation."""
     from .temp_conv_fused import _fused, _unfused, supported
@@ -274,6 +296,7 @@ CHECKS = {
     "temporal_pair": check_temporal_pair,
     "temporal_pair_fm": check_temporal_pair_fm,
     "geglu_fused": check_geglu,
+    "geglu_bwd": check_geglu_bwd,
     "temp_conv_fused": check_temp_conv,
 }
 

@@ -170,6 +170,30 @@ def _unfused(x, a, b, w, bias):
     return y + bias.astype(x.dtype)
 
 
+def _unfused_shifted(x, a, b, w, bias):
+    """Same function as ``_unfused``, expressed as three frame-shifted
+    (rows, C) matmuls in the native (B, F, P, C) layout. The conv3d form's
+    NDHWC lowering forces {4,2,1,3,0}->{4,0,3,2,1} relayouts of every
+    activation AND of every cotangent under `jax.vjp` — ~1.7 ms each at the
+    L0 shape, the single largest family in the guided-update device trace.
+    The shifted-dot form keeps all operands (and thus the whole transposed
+    computation AD derives from it) in the layout the surrounding ops use:
+    y[f] = z[f-1] @ w[0] + z[f] @ w[1] + z[f+1] @ w[2]  (SAME padding)."""
+    z = x.astype(jnp.float32) * a[:, None, None, :] + b[:, None, None, :]
+    z = (z * jax.nn.sigmoid(z)).astype(x.dtype)
+    wd = w.astype(x.dtype)
+    dn = (((3,), (0,)), ((), ()))
+    y = jax.lax.dot_general(z, wd[1], dn, preferred_element_type=x.dtype)
+    prev = jax.lax.dot_general(z[:, :-1], wd[0], dn,
+                               preferred_element_type=x.dtype)
+    nxt = jax.lax.dot_general(z[:, 1:], wd[2], dn,
+                              preferred_element_type=x.dtype)
+    zrow = jnp.zeros_like(prev[:, :1])
+    y = y + jnp.concatenate([zrow, prev], axis=1)
+    y = y + jnp.concatenate([nxt, zrow], axis=1)
+    return y + bias.astype(x.dtype)
+
+
 @jax.custom_vjp
 def _stage(x, a, b, w, bias):
     return _fused(x, a, b, w, bias)
@@ -180,7 +204,7 @@ def _stage_fwd(x, a, b, w, bias):
 
 
 def _stage_bwd(res, g):
-    _, vjp = jax.vjp(_unfused, *res)
+    _, vjp = jax.vjp(_unfused_shifted, *res)
     return vjp(g)
 
 

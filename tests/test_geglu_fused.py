@@ -105,3 +105,34 @@ def test_fused_gradients_match_unfused():
     for a, b in zip(g_f, g_un):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_bwd_kernel_dx_matches_unfused():
+    """The dx-only backward kernel (interpret mode) must match the unfused
+    dx for both GELU forms, and _gelu_val_grad must match AD."""
+    rng = np.random.default_rng(3)
+    c, inner, r = 64, 256, 128
+    p = _params(rng, c, inner)
+    x = jnp.asarray(rng.standard_normal((r, c)), jnp.float32)
+    dy = jnp.asarray(rng.standard_normal((r, c)), jnp.float32)
+    args = (x, p["proj"]["w"], p["proj"]["b"], p["out"]["w"], p["out"]["b"])
+
+    dx_un = jax.vjp(gf._unfused, *args)[1](dy)[0]
+    dx_k = gf._fused_rows_bwd_resident(
+        x, dy, p["proj"]["w"], p["proj"]["b"], p["out"]["w"],
+        block_m=64, nk=2, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(dx_k), np.asarray(dx_un),
+                               rtol=2e-4, atol=2e-4)
+
+    g = jnp.linspace(-4.0, 4.0, 97, dtype=jnp.float32)
+    for form in ("tanh", "exact"):
+        val, grad = gf._gelu_val_grad(g, form)
+        fn = lambda t: jnp.sum(
+            gf._gelu_tanh(t) if form == "tanh" else gf._gelu_exact(t))
+        want_val = gf._gelu_tanh(g) if form == "tanh" else gf._gelu_exact(g)
+        want_grad = jax.grad(fn)(g)
+        np.testing.assert_allclose(np.asarray(val), np.asarray(want_val),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(grad), np.asarray(want_grad),
+                                   rtol=1e-4, atol=1e-5)

@@ -68,6 +68,25 @@ def test_fused_stage_gradients_match_unfused():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_shifted_form_matches_unfused():
+    """The VJP recompute target (_unfused_shifted, frame-shifted matmuls)
+    must compute the same function as the conv3d form, values and grads."""
+    x, norm, conv = _inputs(b=1, f=5, p=16, c=128, seed=4)
+    a, bc = group_norm_coeffs(norm, x, 32, 1e-5)
+    w = conv["w"].reshape(3, x.shape[-1], x.shape[-1])
+    got = tcf._unfused_shifted(x, a, bc, w, conv["b"])
+    want = tcf._unfused(x, a, bc, w, conv["b"])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+    loss = lambda fn: lambda x_, w_: jnp.sum(fn(x_, a, bc, w_, conv["b"]) ** 2)
+    gx_s, gw_s = jax.grad(loss(tcf._unfused_shifted), (0, 1))(x, w)
+    gx_u, gw_u = jax.grad(loss(tcf._unfused), (0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gx_s), np.asarray(gx_u),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gw_s), np.asarray(gw_u),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_unfused_matches_reference_chain():
     """tcf._unfused (the VJP recompute target) must equal the original
     group_norm -> silu -> conv3d chain."""

@@ -78,6 +78,17 @@ def main():
 
         timed(f"{name} default", lambda *a: gf._fused_rows(*a), x, w1, b1, w2, b2)
         timed(f"{name} xla", gf._unfused, x, w1, b1, w2, b2)
+        if c < 1280:
+            for bm, nk in ((256, 1), (256, 2), (512, 1), (512, 2), (512, 4),
+                           (768, 2), (1024, 1), (1024, 2), (1024, 4),
+                           (1536, 2), (2048, 2), (2048, 4)):
+                timed(
+                    f"{name} res bm={bm} nk={nk}",
+                    lambda x_, w1_, b1_, w2_, b2_, bm=bm, nk=nk:
+                    gf._fused_rows_resident(
+                        x_, w1_, b1_, w2_, b2_, block_m=bm, nk=nk),
+                    x, w1, b1, w2, b2,
+                )
         if c >= 1280:
             for bm, bk in ((256, 512), (512, 256), (384, 256), (512, 512),
                            (768, 256), (256, 256)):
