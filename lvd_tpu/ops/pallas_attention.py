@@ -262,6 +262,121 @@ def _pallas_attention_bwd(q, k, v, o, do, scale: float, block_q: int = 256,
     )(q, k, v, o, do, scale_arr)
 
 
+def _attn_bwd_kernel_heads(q_ref, k_ref, v_ref, o_ref, do_ref, scale_smem,
+                           dq_ref, dk_ref, dv_ref, dk_acc, dv_acc, *,
+                           nq, s_q, num_heads):
+    # Head-packed flash backward: blocks carry the full packed channel dim
+    # (C = H*D) and the per-head 64-wide slices happen in VMEM — the packed
+    # layout's (B,S,C) <-> (B*H,S,D) HBM relayouts (8 per instance in
+    # _flash_heads_bwd's transpose wrappers, 28.2 ms per guided iteration
+    # in the round-3 device trace) disappear. Same math as _attn_bwd_kernel,
+    # per head.
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _init():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    c = q_ref.shape[-1]
+    d = c // num_heads
+    scale = scale_smem[0]
+    bq = q_ref.shape[1]
+    valid = (i * bq + jax.lax.iota(jnp.int32, bq))[:, None] < s_q
+    q = jnp.where(valid, q_ref[0], 0.0).astype(q_ref.dtype)
+    do = jnp.where(valid, do_ref[0], 0.0).astype(do_ref.dtype)
+    o = o_ref[0]
+
+    for h in range(num_heads):
+        sl = slice(h * d, (h + 1) * d)
+        qh, doh, oh = q[:, sl], do[:, sl], o[:, sl]
+        kh, vh = k_ref[0, :, sl], v_ref[0, :, sl]
+        s = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * (scale * _LOG2E)                             # (BQ, S)
+        p = jnp.exp2(jnp.minimum(s, 80.0))
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        p = jnp.where(valid, p, 0.0)
+        delta = jnp.sum(doh.astype(jnp.float32) * oh.astype(jnp.float32),
+                        axis=-1, keepdims=True)          # (BQ, 1)
+        dp = jax.lax.dot_general(
+            doh, vh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                # (BQ, S)
+        ds = p * (dp - delta) * scale
+        ds = jnp.where(valid, ds, 0.0).astype(q.dtype)
+        dq_ref[0, :, sl] = jax.lax.dot_general(
+            ds, kh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dq_ref.dtype)
+        dk_acc[:, sl] += jax.lax.dot_general(
+            ds, qh, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                # (S, D)
+        dv_acc[:, sl] += jax.lax.dot_general(
+            p.astype(doh.dtype), doh, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(i == nq - 1)
+    def _done():
+        dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def _bwd_heads_vmem(s_k: int, c: int, bq: int) -> int:
+    # Live per program: two fp32 (S, C) scratches, the bf16 K/V blocks
+    # (double-buffered across b), per head one fp32 (BQ, S) logits tile plus
+    # its (BQ, S) dp tile, and the four double-buffered (BQ, C) io tiles.
+    return (2 * 4 * s_k * c + 2 * 2 * 2 * s_k * c
+            + 2 * 4 * bq * s_k + 8 * 2 * bq * c)
+
+
+def _bwd_heads_fits(s_k: int, c: int) -> bool:
+    # Mosaic's real allocation runs above this estimate (the unrolled head
+    # loop keeps extra logits tiles live): on v5e, bq=128 compiles at the
+    # L1 (720, 640) and L2 (180, 1280) shapes (est 9.4 / 6.5 MB) but bq=192
+    # at L1 (est 10.5 MB) and everything at the L0 (2880, 320) shape
+    # (est >= 16.8 MB) exhaust VMEM — hence the 10 MB routing cap
+    # (tools/sweep_heads_bwd.py, PERF.md round-3 wave 3).
+    return _bwd_heads_vmem(s_k, c, 128) <= 10 * 1024 * 1024
+
+
+def _pallas_attention_bwd_heads(q, k, v, o, do, scale: float,
+                                num_heads: int, block_q: int = None,
+                                interpret: bool = False):
+    """(B, S_q, C)-packed flash backward; returns (dq, dk, dv) packed."""
+    b, s_q, c = q.shape
+    s_k = k.shape[1]
+    block_q = min(block_q or 128, s_q)
+    nq = pl.cdiv(s_q, block_q)
+    scale_arr = jnp.full((1,), scale, jnp.float32)
+
+    tile = lambda: pl.BlockSpec((1, block_q, c), lambda b, i: (b, i, 0),
+                                memory_space=pltpu.VMEM)
+    full = lambda: pl.BlockSpec((1, s_k, c), lambda b, i: (b, 0, 0),
+                                memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_attn_bwd_kernel_heads, nq=nq, s_q=s_q,
+                          num_heads=num_heads),
+        grid=(b, nq),
+        in_specs=[tile(), full(), full(), tile(), tile(),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=[tile(), full(), full()],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, s_q, c), q.dtype),
+            jax.ShapeDtypeStruct((b, s_k, c), k.dtype),
+            jax.ShapeDtypeStruct((b, s_k, c), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((s_k, c), jnp.float32),
+            pltpu.VMEM((s_k, c), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v, o, do, scale_arr)
+
+
 def _chunked_sdpa(q, k, v, scale: float, block_q: int = 512):
     """Memory-light pure-JAX attention: scan over query blocks, each block
     rematerialized in the backward pass. (BH, S, D) layout."""
@@ -350,12 +465,15 @@ def _flash_heads_fwd(q, k, v, scale, num_heads):
 
 
 def _flash_heads_bwd(scale, num_heads, res, g):
-    # The packed layout pays its (B,S,C)->(B*H,S,D) relayouts here, in the
-    # backward only (the guided path); the flash bwd kernel then avoids the
-    # chunked-recompute vjp's scan/stack overhead.
     q, k, v, o = res
     b, s_q, c = q.shape
     d = c // num_heads
+    # Head-packed backward kernel when the scratch accumulators fit VMEM —
+    # no HBM relayout at all (L1: 1.40 vs 1.70 ms, L2: 0.45 vs 0.56 per
+    # instance). The L0 (2880, 320) shape exhausts VMEM and keeps the
+    # relayout + (BH,S,D)-kernel path below.
+    if _bwd_heads_fits(k.shape[1], c):
+        return _pallas_attention_bwd_heads(q, k, v, o, g, scale, num_heads)
 
     def to_bh(t):
         s = t.shape[1]

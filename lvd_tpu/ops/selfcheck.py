@@ -245,6 +245,33 @@ def check_geglu(key):
     return run(x, w1, b1, w2, b2)
 
 
+def check_heads_bwd(key):
+    """Head-packed flash backward kernel (no HBM relayout) vs packed-ref AD
+    at the L1 spatial-attention shape (S=720, C=640, 10 heads) — the L0
+    shape exhausts VMEM and routes to the relayout path instead."""
+    from .pallas_attention import _pallas_attention_bwd_heads
+
+    kq, kk, kv, kg = jax.random.split(key, 4)
+    b, s, c, h = 8, 720, 640, 10
+    q = jax.random.normal(kq, (b, s, c), jnp.bfloat16)
+    k = jax.random.normal(kk, (b, s, c), jnp.bfloat16)
+    v = jax.random.normal(kv, (b, s, c), jnp.bfloat16)
+    g = jax.random.normal(kg, (b, s, c), jnp.bfloat16)
+    scale = (c // h) ** -0.5
+
+    @jax.jit
+    def run(q, k, v, g):
+        ref = lambda q_, k_, v_: _packed_ref(q_, k_, v_, scale, h)
+        o, vjp = jax.vjp(ref, q, k, v)
+        want = vjp(g)
+        got = _pallas_attention_bwd_heads(q, k, v, o, g, scale, num_heads=h)
+        diffs = [_divergence(a, b) for a, b in zip(got, want)]
+        return (jnp.max(jnp.stack([d_[0] for d_ in diffs])),
+                jnp.max(jnp.stack([d_[1] for d_ in diffs])))
+
+    return run(q, k, v, g)
+
+
 def check_geglu_bwd(key):
     """dx-only GEGLU backward kernel vs the unfused vjp's dx."""
     from .geglu_fused import _fused_rows_bwd_resident, _unfused
@@ -296,6 +323,7 @@ CHECKS = {
     "temporal_pair": check_temporal_pair,
     "temporal_pair_fm": check_temporal_pair_fm,
     "geglu_fused": check_geglu,
+    "flash_heads_bwd": check_heads_bwd,
     "geglu_bwd": check_geglu_bwd,
     "temp_conv_fused": check_temp_conv,
 }

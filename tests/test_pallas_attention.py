@@ -199,3 +199,30 @@ def test_sdpa_dispatch_consistency():
     np.testing.assert_allclose(
         np.asarray(out_fused), np.asarray(out_probs), rtol=2e-4, atol=2e-5
     )
+
+
+def test_bwd_heads_kernel_matches_reference():
+    """Head-packed flash backward kernel (interpret mode) vs AD through the
+    reference attention, including q-row padding (s_q not a tile multiple)."""
+    rng = np.random.default_rng(7)
+    b, s_q, s_k, h, d = 2, 112, 96, 3, 64
+    c = h * d
+    scale = d ** -0.5
+    q = jnp.asarray(rng.standard_normal((b, s_q, c)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, s_k, c)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, s_k, c)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((b, s_q, c)), jnp.float32)
+
+    def ref_packed(q, k, v):
+        def one(h_):
+            sl = slice(h_ * d, (h_ + 1) * d)
+            return _ref_attention(q[..., sl], k[..., sl], v[..., sl], scale)
+        return jnp.concatenate([one(i) for i in range(h)], axis=-1)
+
+    o, vjp = jax.vjp(ref_packed, q, k, v)
+    want = vjp(g)
+    got = pa._pallas_attention_bwd_heads(
+        q, k, v, o, g, scale, num_heads=h, block_q=64, interpret=True)
+    for a, b_ in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=5e-4, atol=5e-4)
