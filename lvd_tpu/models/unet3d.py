@@ -437,13 +437,34 @@ def _temporal_transformer(p, x, num_frames, num_heads, cfg, spmd_axis=None):
     return y.reshape(n, h, w, c) + residual
 
 
+def _gn_silu_conv(norm_p, conv_p, x, cfg):
+    """GroupNorm -> SiLU -> 3x3 conv. Opt-in fused Pallas pass on TPU
+    (ops/spatial_conv_fused) — measured SLOWER than or equal to XLA's conv
+    at every zeroscope level (tools/sweep_spatial_conv.py: XLA runs the
+    silu+conv chain at 147-335 TF/s, i.e. the input elementwise is already
+    fused into the conv), so the default is the XLA chain; the kernel stays
+    as the measured negative result and for future hardware revisits."""
+    import os
+
+    from ..ops import spatial_conv_fused as scf
+
+    if (os.environ.get("LVD_ENABLE_FUSED_SC") == "1"
+            and conv_p["w"].shape[:2] == (3, 3)
+            and scf.supported(x, conv_p["w"])):
+        a, b = group_norm_coeffs(
+            norm_p, x, cfg.norm_num_groups, cfg.norm_eps)
+        return scf.norm_silu_conv2d(x, a, b, conv_p["w"], conv_p["b"])
+    h = group_norm(norm_p, x, cfg.norm_num_groups, cfg.norm_eps)
+    return conv2d(conv_p, silu(h))
+
+
 def _resnet(p, x, temb, cfg):
-    h = group_norm(p["norm1"], x, cfg.norm_num_groups, cfg.norm_eps)
-    h = checkpoint_name(conv2d(p["conv1"], silu(h)), "conv_out")
+    h = checkpoint_name(_gn_silu_conv(p["norm1"], p["conv1"], x, cfg),
+                        "conv_out")
     t = linear(p["time_emb_proj"], silu(temb))
     h = h + t[:, None, None, :]
-    h = group_norm(p["norm2"], h, cfg.norm_num_groups, cfg.norm_eps)
-    h = checkpoint_name(conv2d(p["conv2"], silu(h)), "conv_out")
+    h = checkpoint_name(_gn_silu_conv(p["norm2"], p["conv2"], h, cfg),
+                        "conv_out")
     if "conv_shortcut" in p:
         x = conv2d(p["conv_shortcut"], x, padding=0)
     return x + h
