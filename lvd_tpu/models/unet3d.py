@@ -320,15 +320,19 @@ def _btb_apply(
     double_self_attention: bool = False,
     gligen_objs=None,
     ln_eps: float = 1e-5,
+    probs_transform=None,
 ):
     h, _ = attention(p["attn1"], layer_norm(p["norm1"], x, ln_eps), None, num_heads)
     x = x + checkpoint_name(h, "attn_out")
     if gligen_objs is not None and "fuser" in p:
         x = apply_gated_self_attention(p["fuser"], x, gligen_objs, num_heads)
     ctx = None if double_self_attention else context
+    # probs_transform edits only the cross-attention, as the reference's
+    # attn_process_fn does (attention_processor.py:520-522).
     h, probs = attention(
         p["attn2"], layer_norm(p["norm2"], x, ln_eps), ctx, num_heads,
         return_probs=capture,
+        probs_transform=None if double_self_attention else probs_transform,
     )
     x = x + checkpoint_name(h, "attn_out")
     x = x + checkpoint_name(
@@ -338,7 +342,7 @@ def _btb_apply(
 
 
 def _spatial_transformer(p, x, context, num_heads, cfg, *, key, capture_keys, aux,
-                         gligen_objs=None):
+                         gligen_objs=None, probs_transform=None):
     n, h, w, c = x.shape
     residual = x
     y = group_norm(p["norm"], x, cfg.norm_num_groups, cfg.transformer_norm_eps)
@@ -350,6 +354,10 @@ def _spatial_transformer(p, x, context, num_heads, cfg, *, key, capture_keys, au
         y, probs = _btb_apply(
             block, y, context, num_heads,
             capture=capture, gligen_objs=gligen_objs,
+            probs_transform=(
+                None if probs_transform is None
+                else functools.partial(probs_transform, full_key)
+            ),
         )
         if capture:
             aux[full_key] = probs
@@ -453,7 +461,10 @@ def _gn_silu_conv(norm_p, conv_p, x, cfg):
             and scf.supported(x, conv_p["w"])):
         a, b = group_norm_coeffs(
             norm_p, x, cfg.norm_num_groups, cfg.norm_eps)
-        return scf.norm_silu_conv2d(x, a, b, conv_p["w"], conv_p["b"])
+        bias = conv_p.get("b")
+        if bias is None:  # conv2d treats bias as optional; mirror that here
+            bias = jnp.zeros((conv_p["w"].shape[-1],), conv_p["w"].dtype)
+        return scf.norm_silu_conv2d(x, a, b, conv_p["w"], bias)
     h = group_norm(norm_p, x, cfg.norm_num_groups, cfg.norm_eps)
     return conv2d(conv_p, silu(h))
 
@@ -541,12 +552,14 @@ def _temp_conv(p, x, num_frames, cfg, spmd_axis=None):
 
 
 def _cross_attn_layer(p, x, temb, context, num_frames, num_heads, cfg, *,
-                      key, capture_keys, aux, gligen_objs, spmd_axis=None):
+                      key, capture_keys, aux, gligen_objs, spmd_axis=None,
+                      probs_transform=None):
     x = _resnet(p["resnet"], x, temb, cfg)
     x = _temp_conv(p["temp_conv"], x, num_frames, cfg, spmd_axis=spmd_axis)
     x = _spatial_transformer(
         p["attn"], x, context, num_heads, cfg,
         key=key, capture_keys=capture_keys, aux=aux, gligen_objs=gligen_objs,
+        probs_transform=probs_transform,
     )
     x = _temporal_transformer(
         p["temp_attn"], x, num_frames, num_heads, cfg, spmd_axis=spmd_axis
@@ -566,6 +579,7 @@ def apply_unet3d(
     capture_only: bool = False,
     remat: bool = False,
     spmd_axis=None,
+    probs_transform=None,
 ):
     """Run the UNet.
 
@@ -588,6 +602,14 @@ def apply_unet3d(
         cond forward here (models/pipelines.py:78-83).
       remat: checkpoint each UNet layer (for differentiating the guidance
         energy under HBM limits).
+      probs_transform: optional fn ``(attn_key, probs) -> probs`` editing the
+        cross-attention probabilities of every spatial transformer block
+        in-flight, before the PV contraction — the functional counterpart of
+        the reference's ``attn_process_fn`` hook
+        (attention_processor.py:441, 521-532). Captured aux maps stay
+        PRE-transform, matching the reference. Setting it routes every
+        spatial cross-attention through the materializing path; it is a
+        research/debugging hook, not a hot-path feature.
       spmd_axis: mesh axis name when called inside shard_map with frames
         sharded along it (sequence-parallel inference). Temporal modules
         all_to_all between frame- and pixel-sharding; norms psum their
@@ -655,6 +677,7 @@ def apply_unet3d(
                     lp, x, temb, context, f, num_heads, cfg,
                     key=key, capture_keys=capture_keys, aux=local_aux,
                     gligen_objs=gligen_objs, spmd_axis=spmd_axis,
+                    probs_transform=probs_transform,
                 )
             else:
                 y = _resnet(lp["resnet"], x, temb, cfg)
@@ -708,7 +731,7 @@ def apply_unet3d(
         x = _spatial_transformer(
             lp["attn"], x, context, num_heads, cfg,
             key=("mid", 0, j), capture_keys=capture_keys, aux=aux,
-            gligen_objs=gligen_objs,
+            gligen_objs=gligen_objs, probs_transform=probs_transform,
         )
         if _have_all_keys():
             return None, aux

@@ -50,15 +50,23 @@ def _merge_heads(x):
     return x.reshape(x.shape[0], x.shape[1], -1)
 
 
-def sdpa(q, k, v, scale: Optional[float] = None, return_probs: bool = False):
+def sdpa(q, k, v, scale: Optional[float] = None, return_probs: bool = False,
+         probs_transform=None):
     """Scaled dot-product attention over (B, H, S, D) tensors.
 
     Softmax statistics accumulate in float32 regardless of input dtype.
+
+    ``probs_transform``: optional fn (B, H, S_q, S_k) probs -> probs applied
+    between softmax and the PV contraction (forces the materializing path).
+    The probs returned under ``return_probs`` are the PRE-transform maps,
+    matching the reference's ``attention_probs_before_process``
+    (attention_processor.py:521-534).
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
     if (
         not return_probs
+        and probs_transform is None
         and not _DISABLE_FUSED
         and k.shape[-2] >= _FUSED_MIN_KEY_LEN
     ):
@@ -70,8 +78,9 @@ def sdpa(q, k, v, scale: Optional[float] = None, return_probs: bool = False):
     )
     logits = logits * jnp.float32(scale)
     probs = jax.nn.softmax(logits, axis=-1)
+    used = probs if probs_transform is None else probs_transform(probs)
     out = jnp.einsum(
-        "bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
+        "bhqk,bhkd->bhqd", used.astype(v.dtype), v,
         preferred_element_type=jnp.float32,
     ).astype(v.dtype)
     return out, (probs if return_probs else None)
@@ -83,6 +92,7 @@ def attention(
     encoder_hidden_states=None,
     num_heads: int = 8,
     return_probs: bool = False,
+    probs_transform=None,
 ):
     """Projected multi-head attention (diffusers `Attention` semantics:
     bias-free q/k/v, output projection with bias).
@@ -90,6 +100,12 @@ def attention(
     hidden_states: (B, S_q, C); encoder_hidden_states: (B, S_k, C_enc) or
     None for self-attention. Returns (out, probs|None) with probs
     (B, heads, S_q, S_k) in float32.
+
+    ``probs_transform``: optional in-flight attention-probability edit (the
+    reference's ``attn_process_fn`` hook, attention_processor.py:441,
+    521-532): probs -> probs, applied before the PV contraction. Setting it
+    routes this site through the materializing path; captured probs stay
+    pre-transform (reference semantics).
     """
     context = hidden_states if encoder_hidden_states is None else encoder_hidden_states
     q = linear(p["to_q"], hidden_states)
@@ -98,6 +114,7 @@ def attention(
     short_key = k.shape[-2] < _FUSED_MIN_KEY_LEN
     if (
         not return_probs
+        and probs_transform is None
         and not _DISABLE_FUSED
         # Long keys always use the fused/chunked path (the einsum would
         # materialize (S, S) probs — the reference's OOM). Short keys only
@@ -119,6 +136,7 @@ def attention(
         _split_heads(k, num_heads),
         _split_heads(v, num_heads),
         return_probs=return_probs,
+        probs_transform=probs_transform,
     )
     out = _merge_heads(out)
     return linear(p["to_out"], out), probs

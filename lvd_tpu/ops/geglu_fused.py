@@ -65,7 +65,10 @@ def _gate(h, g, form: str):
 
 def _gelu_val_grad(g, form: str):
     """(gelu(g), gelu'(g)) in fp32, closed form (both GELU_FORM variants).
-    Algebraically identical to AD through _gelu_tanh/_gelu_exact."""
+    The tanh form is algebraically identical to AD through _gelu_tanh; the
+    exact form pairs the A&S polynomial erf CDF with the *true* Gaussian
+    pdf, so it matches AD through _gelu_exact (which differentiates the
+    polynomial) to ~1e-4, not bit-for-bit."""
     if form == "tanh":
         # u = g * sigmoid(a*z), z = g + 0.044715 g^3, a = 2*sqrt(2/pi)
         a = 1.5957691216057308
@@ -176,6 +179,16 @@ def _fused_rows_resident(x, w1, b1, w2, b2, *, block_m: int, nk: int,
     )(x, w1h, w1g, b1h, b1g, w2, b2[None, :])
 
 
+def _resident_form_ok(c, inner, itemsize, chunk_mod):
+    """Single source of truth for the resident-weights routing gate: w1h +
+    w1g + w2 (3 * C * inner elements) must fit the ~10 MB VMEM weight
+    budget alongside the row blocks, and the inner dim must chunk evenly
+    (forward pipelines in 4s, backward in 8s). Shared by supported(),
+    _fused_rows, and _fused_bwd so the constants cannot silently diverge."""
+    return (3 * c * inner * itemsize <= 10 * 1024 * 1024
+            and inner % chunk_mod == 0)
+
+
 def _fused_rows(x, w1, b1, w2, b2, *, block_m: int = None, block_k: int = None,
                 interpret: bool = False):
     """x: (R, C); w1: (C, 2*inner); w2: (inner, C). Returns (R, C)."""
@@ -185,7 +198,7 @@ def _fused_rows(x, w1, b1, w2, b2, *, block_m: int = None, block_k: int = None,
     # (<= ~10 MB: the C=320 and C=640 UNet levels). Measured (standalone,
     # v5e): L0 2.51 -> 2.02 ms, L1 2.08 -> 1.56 ms.
     w_bytes = 3 * c * inner * x.dtype.itemsize
-    if block_k is None and w_bytes <= 10 * 1024 * 1024 and inner % 4 == 0:
+    if block_k is None and _resident_form_ok(c, inner, x.dtype.itemsize, 4):
         if w_bytes <= 3 * 1024 * 1024:
             bm, nk = 1024, 1
         else:
@@ -341,9 +354,8 @@ def _fused_bwd(res, g):
     # recompute, keeping exact unfused weight-gradient semantics.
     c = x.shape[-1]
     inner = w2.shape[0]
-    w_bytes = 3 * c * inner * x.dtype.itemsize
     if (jax.default_backend() == "tpu"
-            and w_bytes <= 10 * 1024 * 1024 and inner % 8 == 0):
+            and _resident_form_ok(c, inner, x.dtype.itemsize, 8)):
         dx = _fused_rows_bwd_resident(x, g.astype(x.dtype), w1, b1, w2)
     return dx, dw1, db1, dw2, db2
 
@@ -368,7 +380,7 @@ def supported(w1, w2, x) -> bool:
         # formulation at every swept block config (1.64-1.79 vs 1.56 ms,
         # tools/sweep_geglu.py round 3) — the weight refetch per row block
         # costs more than the saved inner-activation round-trip there.
-        and 3 * c * inner * x.dtype.itemsize <= 10 * 1024 * 1024
+        and _resident_form_ok(c, inner, x.dtype.itemsize, 8)
     )
 
 

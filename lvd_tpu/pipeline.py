@@ -161,7 +161,7 @@ class TextToVideoPipeline:
     def _make_sharded_sample(self, fn, flags):
         """shard_map wrapper: frames sharded on the mesh "data" axis; the
         guidance pack's frame-indexed arrays and GLIGEN inputs shard along."""
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         (guided, keys, *_), gligen_on = flags[:3], flags[3]

@@ -149,7 +149,7 @@ def test_sharded_unet_forward_matches_single_device():
     must reproduce the single-device result."""
     from functools import partial
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import NamedSharding
 
     cfg = tiny_unet_config()
@@ -192,7 +192,7 @@ def test_sharded_unet_forward_matches_single_device():
 
 def test_sharded_sampling_matches_single_device():
     """The whole unguided denoising loop, frame-sharded over the mesh."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import NamedSharding
 
     from lvd_tpu.config import SchedulerConfig

@@ -70,3 +70,33 @@ def test_stage_gradients_match_unfused():
         gu = jax.grad(chain, arg)(x, wk)
         np.testing.assert_allclose(np.asarray(gs), np.asarray(gu),
                                    rtol=1e-3, atol=1e-4)
+
+
+def test_gn_silu_conv_fused_flag_biasless(monkeypatch):
+    """The LVD_ENABLE_FUSED_SC=1 routing in unet3d._gn_silu_conv must work
+    for a biasless 3x3 conv (conv2d treats "b" as optional) and match the
+    unfused chain; exercised via interpreted Pallas on CPU by forcing the
+    supported() gate (ADVICE r3)."""
+    import functools
+    import types
+
+    from lvd_tpu.models import unet3d
+
+    x, a, b, wk, bias = _inputs(1, 8, 16, 32, 32, seed=4)
+    del a, b, bias
+    monkeypatch.setenv("LVD_ENABLE_FUSED_SC", "1")
+    monkeypatch.setattr(scf, "supported", lambda x_, w_: True)
+    monkeypatch.setattr(
+        scf, "_fused", functools.partial(scf._fused, interpret=True))
+    cfg = types.SimpleNamespace(norm_num_groups=4, norm_eps=1e-5)
+    rng = np.random.default_rng(5)
+    norm_p = {
+        "scale": jnp.asarray(rng.standard_normal(32), jnp.float32) * 0.2 + 1,
+        "bias": jnp.asarray(rng.standard_normal(32), jnp.float32) * 0.1,
+    }
+    conv_p = {"w": wk.reshape(3, 3, 32, 32)}  # biasless on purpose
+    got = unet3d._gn_silu_conv(norm_p, conv_p, x, cfg)
+    a2, b2 = group_norm_coeffs(norm_p, x, num_groups=4, eps=1e-5)
+    want = scf._unfused(x, a2, b2, wk, jnp.zeros((32,), jnp.float32))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)

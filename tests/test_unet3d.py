@@ -189,3 +189,56 @@ def test_batch_and_cfg_pair(tiny):
     np.testing.assert_allclose(
         np.asarray(out[:1]), np.asarray(out0), rtol=2e-4, atol=2e-4
     )
+
+
+def test_probs_transform_hook(tiny):
+    """probs_transform mirrors the reference's attn_process_fn
+    (attention_processor.py:441, 521-532): it edits cross-attention
+    probabilities in-flight at every spatial transformer, receives the
+    attn_key, changes the output, and — like the reference — the captured
+    aux maps stay PRE-transform."""
+    cfg, params = tiny
+    sample, t, text = _inputs(cfg)
+    keys = (("down", 1, 0, 0), ("up", 1, 0, 0))
+
+    base_out, base_aux = jax.jit(
+        lambda p, s, t, c: apply_unet3d(p, cfg, s, t, c, capture_keys=keys)
+    )(params, sample, t, text)
+
+    seen_keys = set()
+
+    def identity(key, probs):
+        seen_keys.add(key)
+        return probs
+
+    id_out, id_aux = jax.jit(
+        lambda p, s, t, c: apply_unet3d(
+            p, cfg, s, t, c, capture_keys=keys, probs_transform=identity
+        )
+    )(params, sample, t, text)
+    # Hook fires at every spatial cross-attention, not just captured sites.
+    assert set(keys) <= seen_keys and len(seen_keys) > len(keys)
+    np.testing.assert_allclose(
+        np.asarray(id_out), np.asarray(base_out), rtol=2e-5, atol=2e-5
+    )
+
+    def collapse(key, probs):
+        # Drastic valid edit: every query attends only the first text token.
+        return jnp.zeros_like(probs).at[..., 0].set(1.0)
+
+    sh_out, sh_aux = jax.jit(
+        lambda p, s, t, c: apply_unet3d(
+            p, cfg, s, t, c, capture_keys=keys, probs_transform=collapse
+        )
+    )(params, sample, t, text)
+    # Small in absolute terms (the tiny random-init model attenuates
+    # attention contributions) but >10x the identity-path compile noise
+    # asserted at 2e-5 above.
+    assert float(jnp.abs(sh_out - base_out).max()) > 1e-4
+    # Captured maps are PRE-transform (reference semantics): never the
+    # collapsed one-hot. (Exact equality with base_aux only holds at the
+    # first site — the edit changes activations flowing into later blocks.)
+    for k in keys:
+        probs = np.asarray(sh_aux[k])
+        assert probs[..., 0].max() < 0.9  # collapse would make this 1.0
+        assert probs[..., 1:].sum() > 1.0
