@@ -200,13 +200,15 @@ def _fused_rows(x, w1, b1, w2, b2, *, block_m: int = None, block_k: int = None,
     w_bytes = 3 * c * inner * x.dtype.itemsize
     if block_k is None and _resident_form_ok(c, inner, x.dtype.itemsize, 4):
         if w_bytes <= 3 * 1024 * 1024:
-            bm, nk = 1024, 1
+            # Round-4 sweep (tools/sweep_geglu.py, real chip, L0 shape):
+            # bm=1536/nk=2 1.664 ms vs bm=1024/nk=1 1.763, bm=512/nk=1 1.747.
+            bm, nk = 1536, 2
         else:
-            # Round-3 sweep (tools/sweep_geglu.py, real chip): bm=512/nk=1
-            # 1.470 ms vs nk=2 1.499 / nk=4 1.499 at the L1 shape — with the
-            # weights resident a single unchunked pass edges out the
-            # software-pipelined chunk loop.
-            bm, nk = 512, 1
+            # L1 shape, round-4 sweep: bm=256/nk=1 1.223 ms vs bm=512/nk=1
+            # 1.284 (bm=768/nk=2 was 1.204 but its fp32 h/g chunks push the
+            # scoped-VMEM budget over 16 MB in the energy-walk fusion
+            # context — the bm=512 form already OOM'd there at 16.41 MB).
+            bm, nk = 256, 1
         return _fused_rows_resident(
             x, w1, b1, w2, b2, block_m=min(bm, r), nk=nk, interpret=interpret)
     if block_k is None:

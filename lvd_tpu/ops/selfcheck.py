@@ -315,6 +315,45 @@ def check_temp_conv(key):
     return run(x, a, bb, w, bias)
 
 
+def check_temporal_pair_bwd(key):
+    """dy-only Pallas backward of the fused temporal pair vs the unfused
+    VJP's input gradient (the kernel the guided update routes through)."""
+    from .temporal_attention import _pair_ref, _pallas_pair_bwd, _pick_g_bwd
+
+    b, p_dim, f, c, nh = 1, 160, 24, 320, 5
+    keys = jax.random.split(key, 16)
+    it = iter(keys)
+
+    def lin(cin, cout, bias=True):
+        d = {"w": jax.random.normal(next(it), (cin, cout), jnp.bfloat16) * 0.1}
+        if bias:
+            d["b"] = jax.random.normal(next(it), (cout,), jnp.bfloat16) * 0.01
+        return d
+
+    def attn():
+        return {"to_q": lin(c, c, bias=False), "to_k": lin(c, c, bias=False),
+                "to_v": lin(c, c, bias=False), "to_out": lin(c, c)}
+
+    def norm():
+        return {"scale": 1.0 + 0.1 * jax.random.normal(next(it), (c,), jnp.bfloat16),
+                "bias": 0.1 * jax.random.normal(next(it), (c,), jnp.bfloat16)}
+
+    params = {"norm1": norm(), "norm2": norm(), "attn1": attn(), "attn2": attn()}
+    y = jax.random.normal(next(it), (b, p_dim, f, c), jnp.bfloat16)
+    ct = jax.random.normal(next(it), (b, p_dim, f, c), jnp.bfloat16)
+    g_bwd = _pick_g_bwd(p_dim, c)
+    assert g_bwd > 0, "pair backward kernel not engaged at this shape"
+
+    @jax.jit
+    def run(params, y, ct):
+        _, vjp = jax.vjp(lambda y_: _pair_ref(params, y_, nh, 1e-5), y)
+        (want,) = vjp(ct)
+        got = _pallas_pair_bwd(params, y, ct, nh, g_bwd, 1e-5)
+        return _divergence(got, want)
+
+    return run(params, y, ct)
+
+
 CHECKS = {
     "flash_fwd": check_flash,
     "flash_bwd": check_flash_bwd,
@@ -322,6 +361,7 @@ CHECKS = {
     "flash_shortkey": check_shortkey,
     "temporal_pair": check_temporal_pair,
     "temporal_pair_fm": check_temporal_pair_fm,
+    "temporal_pair_bwd": check_temporal_pair_bwd,
     "geglu_fused": check_geglu,
     "flash_heads_bwd": check_heads_bwd,
     "geglu_bwd": check_geglu_bwd,

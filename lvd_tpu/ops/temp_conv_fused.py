@@ -64,6 +64,45 @@ def _kernel(x_ref, a_ref, b_ref, w_ref, bias_ref, o_ref, *, nb: int = 1):
         cur = nxt
 
 
+def _kernel_cat3(x_ref, a_ref, b_ref, w_ref, bias_ref, o_ref, *, nb: int = 1):
+    # Concatenated-taps variant: the three frame-shifted row blocks join on
+    # the lane axis into one (rows, 3C) operand and the conv becomes a
+    # single K=3C MXU dot — at C=320, K rounds 960->1024 (94% tile fill)
+    # instead of three 320->384 (83%) contractions, and one dot amortizes
+    # the per-dot MXU ramp. nb > 1 additionally pipelines chunk k+1's
+    # silu+concat (VPU) ahead of chunk k's dot.
+    x = x_ref[0]                      # (F, bp, C)
+    f, bp, c = x.shape
+    bpc = bp // nb
+    a = a_ref[0, 0].astype(jnp.float32)
+    b = b_ref[0, 0].astype(jnp.float32)
+    w3 = w_ref[...].reshape(3 * c, w_ref.shape[-1])
+
+    def mk_z3(k):
+        xs = x[:, k * bpc:(k + 1) * bpc]
+        z = xs.astype(jnp.float32) * a[None, None, :] + b[None, None, :]
+        z = (z * jax.nn.sigmoid(z)).astype(x.dtype)
+        zero = jnp.zeros((1, bpc, c), z.dtype)
+        zprev = jnp.concatenate([zero, z[:-1]], axis=0)
+        znext = jnp.concatenate([z[1:], zero], axis=0)
+        return jnp.concatenate([zprev, z, znext], axis=-1).reshape(
+            f * bpc, 3 * c)
+
+    cur = mk_z3(0)
+    for k in range(nb):
+        nxt = mk_z3(k + 1) if k + 1 < nb else None
+        acc = jax.lax.dot_general(
+            cur, w3, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bias_ref[0, 0].astype(jnp.float32)[None, :]
+        out = acc.reshape(f, bpc, o_ref.shape[-1]).astype(o_ref.dtype)
+        if nb == 1:
+            o_ref[0] = out
+        else:
+            o_ref[0, :, k * bpc:(k + 1) * bpc] = out
+        cur = nxt
+
+
 def _kernel_rowshift(x_ref, a_ref, b_ref, w_ref, bias_ref, o_ref, acc_ref):
     # Row-shifted-taps variant: one silu pass, the prev/next taps realized
     # as shifted dots accumulated into an fp32 scratch — no zprev/znext
@@ -109,8 +148,10 @@ def _block_co_for(c: int) -> int:
     return 0
 
 
-def _fused(x, a, b, w, bias, *, block_p: int = None, interpret: bool = False):
-    """x: (B, F, P, C); a, b: (B, C) fp32; w: (3, C, C); bias: (C,)."""
+def _fused(x, a, b, w, bias, *, block_p: int = None, interpret: bool = False,
+           variant: str = None, nb: int = None):
+    """x: (B, F, P, C); a, b: (B, C) fp32; w: (3, C, C); bias: (C,).
+    ``variant``/``nb`` override the measured per-level routing (sweeps)."""
     bsz, f, p, c = x.shape
     if block_p is None:
         block_p = _block_p_for(c)
@@ -122,15 +163,22 @@ def _fused(x, a, b, w, bias, *, block_p: int = None, interpret: bool = False):
     # narrow levels overlap VPU/MXU via chunked pipelining; mid levels win
     # with the scratch-accumulate row-shift form; wide levels keep the
     # simple single-pass kernel.
-    if c <= 384 and block_p % 4 == 0:
-        kernel = functools.partial(_kernel, nb=4)
+    if variant is None:
+        if c <= 384 and block_p % 4 == 0:
+            variant, nb = "taps", 4
+        elif c <= 640:
+            variant = "rowshift"
+        else:
+            variant = "taps"
+    if variant == "cat3":
+        kernel = functools.partial(_kernel_cat3, nb=nb or 1)
         scratch = []
-    elif c <= 640:
+    elif variant == "taps":
+        kernel = functools.partial(_kernel, nb=nb or 1)
+        scratch = []
+    else:
         kernel = _kernel_rowshift
         scratch = [pltpu.VMEM((f * block_p, block_co), jnp.float32)]
-    else:
-        kernel = _kernel
-        scratch = []
 
     return pl.pallas_call(
         kernel,

@@ -45,6 +45,39 @@ def _ln(x, s_ref, b_ref, eps: float):
             + b_ref[...].astype(jnp.float32)).astype(x.dtype)
 
 
+def _head_probs(qkv, h, c, d, mask01, scale, dt):
+    """Recompute head h's (R, R) block-diag softmax probs from the fused
+    qkv projection (fp32), exactly as the forward kernel forms them."""
+    q = qkv[:, h * d:(h + 1) * d] * (scale * _LOG2E)
+    k = qkv[:, c + h * d:c + (h + 1) * d]
+    s = jax.lax.dot_general(
+        q.astype(dt), k.astype(dt),
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+    p = jnp.exp2(jnp.minimum(s, 80.0)) * mask01
+    return p / jnp.sum(p, axis=-1, keepdims=True)
+
+
+def _attn_core(qkv, wo_ref, bo_ref, mask01, num_heads: int, scale: float,
+               dt, c: int):
+    """Per-head attention + output projection from the fused (R, 3C) qkv."""
+    d = c // num_heads
+    acc = None
+    for h in range(num_heads):
+        p = _head_probs(qkv, h, c, d, mask01, scale, dt)
+        v = qkv[:, 2 * c + h * d:2 * c + (h + 1) * d].astype(dt)
+        o = jax.lax.dot_general(
+            p.astype(dt), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dt)                                    # (R, 64)
+        part = jax.lax.dot_general(
+            o, wo_ref[h], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                               # (R, C) fp32
+        acc = part if acc is None else acc + part
+    return (acc + bo_ref[...].astype(jnp.float32)).astype(dt)
+
+
 def _one_attn(x, wqkv_ref, wo_ref, bo_ref, mask01, num_heads: int,
               scale: float):
     """One self-attention on an (R, C) row block.
@@ -57,32 +90,12 @@ def _one_attn(x, wqkv_ref, wo_ref, bo_ref, mask01, num_heads: int,
     adding -inf — measured 5.45 -> 3.69 ms per L0 instance for the pair.
     """
     c = x.shape[-1]
-    d = c // num_heads
     qkv = jax.lax.dot_general(
         x, wqkv_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )                                                   # (R, 3C) fp32
-    acc = None
-    for h in range(num_heads):
-        q = qkv[:, h * d:(h + 1) * d] * (scale * _LOG2E)
-        k = qkv[:, c + h * d:c + (h + 1) * d]
-        v = qkv[:, 2 * c + h * d:2 * c + (h + 1) * d].astype(x.dtype)
-        s = jax.lax.dot_general(
-            q.astype(x.dtype), k.astype(x.dtype),
-            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-        )
-        p = jnp.exp2(jnp.minimum(s, 80.0)) * mask01
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        o = jax.lax.dot_general(
-            p.astype(x.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(x.dtype)                               # (R, 64)
-        part = jax.lax.dot_general(
-            o, wo_ref[h], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                               # (R, C) fp32
-        acc = part if acc is None else acc + part
-    return (acc + bo_ref[...].astype(jnp.float32)).astype(x.dtype)
+    return _attn_core(qkv, wo_ref, bo_ref, mask01, num_heads, scale,
+                      x.dtype, c)
 
 
 def _tattn_kernel(y_ref,
@@ -114,6 +127,137 @@ def _tattn_kernel(y_ref,
     if frames_major:
         out = out.transpose(1, 0, 2)
     o_ref[0] = out
+
+
+def _ln_fwd_stats(x, s_ref, b_ref, eps: float):
+    """LayerNorm forward keeping (xhat, rstd) for the backward."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.maximum(jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean,
+                      0.0)
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = (xf - mean) * rstd
+    z = (xhat * s_ref[...].astype(jnp.float32)
+         + b_ref[...].astype(jnp.float32)).astype(x.dtype)
+    return z, xhat, rstd
+
+
+def _ln_bwd(dz, xhat, rstd, s_ref):
+    """Input gradient of LayerNorm: dz (R, C) fp32 -> dx (R, C) fp32."""
+    g = dz * s_ref[...].astype(jnp.float32)
+    m1 = jnp.mean(g, axis=-1, keepdims=True)
+    m2 = jnp.mean(g * xhat, axis=-1, keepdims=True)
+    return rstd * (g - m1 - xhat * m2)
+
+
+def _attn_dz(u, qkv, wqkv_ref, wo_ref, mask01, num_heads: int, scale: float,
+             dt, c: int):
+    """Input gradient of one self-attention at its (normalized) input z.
+
+    u: (R, C) fp32 cotangent of the attention output (pre-residual);
+    qkv: (R, 3C) fp32 = z @ Wqkv (recomputed). Per head: recompute the
+    block-diag probs, run the standard softmax/attention VJP as full (R, R)
+    MXU dots, then fold dq/dk/dv back through the fused projection with one
+    (R, 3C) x (3C, C) dot — nothing touches HBM.
+    """
+    d = c // num_heads
+    dqs, dks, dvs = [], [], []
+    for h in range(num_heads):
+        p = _head_probs(qkv, h, c, d, mask01, scale, dt)
+        q = qkv[:, h * d:(h + 1) * d]
+        k = qkv[:, c + h * d:c + (h + 1) * d]
+        v = qkv[:, 2 * c + h * d:2 * c + (h + 1) * d]
+        do = jax.lax.dot_general(                       # u @ Wo[h]^T
+            u.astype(dt), wo_ref[h], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                               # (R, 64)
+        pd = p.astype(dt)
+        dod = do.astype(dt)
+        dvs.append(jax.lax.dot_general(                 # p^T @ do
+            pd, dod, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ))
+        dp = jax.lax.dot_general(                       # do @ v^T
+            dod, v.astype(dt), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                               # (R, R)
+        tmp = dp * p
+        dl = (tmp - p * jnp.sum(tmp, axis=-1, keepdims=True)) * scale
+        dld = dl.astype(dt)
+        dqs.append(jax.lax.dot_general(                 # dl @ k
+            dld, k.astype(dt), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ))
+        dks.append(jax.lax.dot_general(                 # dl^T @ q
+            dld, q.astype(dt), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ))
+    dqkv = jnp.concatenate(
+        [jnp.concatenate(dqs, axis=1), jnp.concatenate(dks, axis=1),
+         jnp.concatenate(dvs, axis=1)], axis=1,
+    )                                                   # (R, 3C) fp32
+    return jax.lax.dot_general(                         # dqkv @ Wqkv^T
+        dqkv.astype(dt), wqkv_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _tattn_bwd_kernel(y_ref, ct_ref,
+                      ln1s_ref, ln1b_ref, wqkv1_ref, wo1_ref, bo1_ref,
+                      ln2s_ref, ln2b_ref, wqkv2_ref, wo2_ref, bo2_ref,
+                      dy_ref, *, g: int, f: int, num_heads: int, eps: float,
+                      frames_major: bool = False):
+    """dy-only backward of the fused pair: per tile, recompute the forward
+    (LN1 -> attn1 -> +res -> LN2, qkv2) in VMEM, then chain the attention
+    and LayerNorm input-VJPs — the recompute VJP's 4 whole-stream HBM
+    relayouts and per-pixel F=24 mini-dots (40.1 ms/guided-iter, PERF.md
+    round-3 wave-2 table) become full-depth (R, R)/(R, 3C) MXU work.
+
+    Weight/bias gradients are NOT computed here; the caller's unfused
+    recompute branch provides them (dead code under the latent-only
+    guidance grad)."""
+    r = g * f
+    c = y_ref.shape[-1]
+    dt = y_ref.dtype
+    x0 = y_ref[0]
+    ct = ct_ref[0]
+    if frames_major:
+        x0 = x0.transpose(1, 0, 2)
+        ct = ct.transpose(1, 0, 2)
+    x0 = x0.reshape(r, c)
+    u2 = ct.reshape(r, c).astype(jnp.float32)
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (r, r), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (r, r), 1)
+    mask01 = ((row // f) == (col // f)).astype(jnp.float32)
+    scale = (c // num_heads) ** -0.5
+
+    # forward recompute
+    z1, xhat1, rstd1 = _ln_fwd_stats(x0, ln1s_ref, ln1b_ref, eps)
+    qkv1 = jax.lax.dot_general(
+        z1, wqkv1_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    a1 = _attn_core(qkv1, wo1_ref, bo1_ref, mask01, num_heads, scale, dt, c)
+    x1 = x0 + a1
+    z2, xhat2, rstd2 = _ln_fwd_stats(x1, ln2s_ref, ln2b_ref, eps)
+    qkv2 = jax.lax.dot_general(
+        z2, wqkv2_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    # backward chain (x2 = x1 + A2(LN2(x1)); x1 = x0 + A1(LN1(x0)))
+    dz2 = _attn_dz(u2, qkv2, wqkv2_ref, wo2_ref, mask01, num_heads, scale,
+                   dt, c)
+    dx1 = u2 + _ln_bwd(dz2, xhat2, rstd2, ln2s_ref)
+    dz1 = _attn_dz(dx1, qkv1, wqkv1_ref, wo1_ref, mask01, num_heads, scale,
+                   dt, c)
+    dx0 = dx1 + _ln_bwd(dz1, xhat1, rstd1, ln1s_ref)
+
+    out = dx0.astype(dt).reshape(g, f, c)
+    if frames_major:
+        out = out.transpose(1, 0, 2)
+    dy_ref[0] = out
 
 
 def _split_heads_wo(w, num_heads: int):
@@ -167,6 +311,59 @@ def _pallas_pair(p, y, num_heads: int, g: int, eps: float,
     specs += [const() for _ in range(10)]
     return pl.pallas_call(
         functools.partial(_tattn_kernel, g=g, f=f, num_heads=num_heads,
+                          eps=eps, frames_major=frames_major),
+        grid=(b, n_tiles),
+        in_specs=specs,
+        out_specs=tile,
+        out_shape=jax.ShapeDtypeStruct(y.shape, dt),
+        interpret=interpret,
+    )(*inputs)
+
+
+def _pick_g_bwd(pdim: int, c: int) -> int:
+    # The backward holds two fp32 (R, 3C) qkv blocks + dqkv + per-head
+    # (R, R) transients alongside both attentions' weights; at C=640 the
+    # G=16 tile (R=384) exceeds scoped VMEM, G=8 fits (~13 MB est).
+    cap = 16 if c <= 384 else 8
+    for g in (16, 12, 10, 8, 6, 5, 4):
+        if g <= cap and pdim % g == 0:
+            return g
+    return 0
+
+
+def _pallas_pair_bwd(p, y, ct, num_heads: int, g: int, eps: float,
+                     frames_major: bool = False, interpret: bool = False):
+    """dy of the fused pair. y/ct: (B, P, F, C) — or (B, F, P, C) when
+    ``frames_major`` (tiles permuted in VMEM, matching the forward)."""
+    if frames_major:
+        b, f, pdim, c = y.shape
+    else:
+        b, pdim, f, c = y.shape
+    n_tiles = pdim // g
+    dt = y.dtype
+
+    ln1 = p["norm1"]
+    ln2 = p["norm2"]
+    inputs = (
+        y, ct.astype(dt),
+        ln1["scale"].astype(jnp.float32)[None, :],
+        ln1["bias"].astype(jnp.float32)[None, :],
+        *_attn_inputs(p["attn1"], num_heads, dt),
+        ln2["scale"].astype(jnp.float32)[None, :],
+        ln2["bias"].astype(jnp.float32)[None, :],
+        *_attn_inputs(p["attn2"], num_heads, dt),
+    )
+    const = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    if frames_major:
+        tile = pl.BlockSpec((1, f, g, c), lambda i, j: (i, 0, j, 0),
+                            memory_space=pltpu.VMEM)
+    else:
+        tile = pl.BlockSpec((1, g, f, c), lambda i, j: (i, j, 0, 0),
+                            memory_space=pltpu.VMEM)
+    specs = [tile, tile]
+    specs += [const() for _ in range(10)]
+    return pl.pallas_call(
+        functools.partial(_tattn_bwd_kernel, g=g, f=f, num_heads=num_heads,
                           eps=eps, frames_major=frames_major),
         grid=(b, n_tiles),
         in_specs=specs,
@@ -242,7 +439,18 @@ def _fused_pair_bwd(num_heads, g, eps, frames_major, res, ct):
     p, y = res
     ref = _pair_ref_fm if frames_major else _pair_ref
     _, vjp = jax.vjp(lambda p, y: ref(p, y, num_heads, eps), p, y)
-    return vjp(ct)
+    dp, dy = vjp(ct)
+    # On TPU, dy comes from the Pallas backward kernel instead — the unfused
+    # dy chain (and in the latent-only guidance grad, the entire recompute
+    # above) is dead code XLA removes. Param grads keep exact unfused
+    # recompute semantics for training.
+    pdim = y.shape[2] if frames_major else y.shape[1]
+    c = y.shape[-1]
+    g_bwd = _pick_g_bwd(pdim, c)
+    if jax.default_backend() == "tpu" and g_bwd > 0:
+        dy = _pallas_pair_bwd(p, y, ct, num_heads, g_bwd, eps,
+                              frames_major=frames_major)
+    return dp, dy
 
 
 _fused_pair.defvjp(_fused_pair_fwd, _fused_pair_bwd)

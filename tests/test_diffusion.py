@@ -190,3 +190,46 @@ def test_ca_energy_variants_finite():
             cfg,
         )
         assert np.isfinite(float(val)), cfg
+
+
+def test_guidance_effect_certification():
+    """diffusion/certify.guidance_effect (the bench-warmup stand-in for the
+    env-blocked OWL-ViT accuracy benchmark): applying the sampler's guided
+    update must increase the in-box attention-mass ratio, and the report
+    must carry consistent before/after fields."""
+    from lvd_tpu.diffusion.certify import guidance_effect
+    from lvd_tpu.diffusion.sampler import pack_to_arrays
+    from lvd_tpu.models.loader import tiny_pipeline_models
+    from lvd_tpu.runners.base import OVERALL_GUIDANCE_ATTN_KEYS
+
+    models = tiny_pipeline_models()
+    preset = models.preset
+    frames = 4
+    hl = preset.height // preset.vae.scale_factor
+    wl = preset.width // preset.vae.scale_factor
+    keys = tuple(tuple(k) for k in OVERALL_GUIDANCE_ATTN_KEYS)
+    boxes = [[[0.1, 0.2, 0.45, 0.7]] * frames]
+    pack = make_guidance_pack(boxes, [[2]], keys, (hl, wl), 0.25, 0.25)
+
+    g_cfg = GuidanceConfig(
+        loss_scale=2.5, loss_threshold=350.0, max_iter=1, max_index_step=10,
+        fg_top_p=0.25, bg_top_p=0.25, fg_weight=1.0, bg_weight=2.0,
+    )
+    lat = (
+        jax.random.normal(jax.random.PRNGKey(0), (1, frames, hl, wl, 4))
+        * dpm.INIT_NOISE_SIGMA
+    )
+    text = jax.random.normal(
+        jax.random.PRNGKey(1), (1, 16, preset.unet.cross_attention_dim)
+    ) * 0.3
+
+    eff = guidance_effect(
+        models.unet_params, preset.unet, preset.scheduler,
+        lat, text, pack_to_arrays(pack), keys, g_cfg,
+        num_inference_steps=6, n_iters=3,
+    )
+    assert set(eff) == {"inbox_before", "inbox_after", "gain",
+                        "com_dist_before", "com_dist_after", "n_iters"}
+    assert 0.0 < eff["inbox_before"] < 1.0
+    assert eff["gain"] > 1.0, eff
+    assert eff["inbox_after"] > eff["inbox_before"]

@@ -97,3 +97,19 @@ def test_unfused_matches_reference_chain():
     want = _reference_stage(x, norm, conv)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_variants_match_unfused():
+    """Every routable kernel variant (taps / cat3 / rowshift, pipelined and
+    not) must reproduce the unfused formulation (interpret mode)."""
+    x, norm, conv = _inputs(seed=3)
+    a, bc = group_norm_coeffs(norm, x, 32, 1e-5)
+    w = conv["w"].reshape(3, x.shape[-1], x.shape[-1])
+    want = tcf._unfused(x, a, bc, w, conv["b"])
+    for variant, nb in (("taps", 1), ("taps", 4), ("cat3", 1), ("cat3", 4),
+                        ("rowshift", None)):
+        got = tcf._fused(x, a, bc, w, conv["b"], interpret=True,
+                         variant=variant, nb=nb, block_p=16)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5,
+            err_msg=f"variant={variant} nb={nb}")

@@ -118,3 +118,33 @@ def test_supported_gating():
     assert y_ok.shape[1] % 5 == 0
     y_bad = jnp.zeros((2, 11, 6, 128), jnp.float32)
     assert y_bad.shape[1] % 5 != 0
+
+
+def test_pallas_backward_matches_reference_dy():
+    """The dy-only Pallas backward kernel must reproduce the unfused VJP's
+    input gradient (pixels-major and frames-major), interpret mode."""
+    rng = np.random.default_rng(11)
+    c, heads, g = 128, 2, 5
+    b, pdim, f = 2, 10, 4
+    p = _params(rng, c)
+
+    y = jnp.asarray(rng.standard_normal((b, pdim, f, c)), jnp.float32)
+    ct = jnp.asarray(rng.standard_normal((b, pdim, f, c)), jnp.float32)
+    _, vjp = jax.vjp(lambda y_: ta._pair_ref(p, y_, heads, 1e-5), y)
+    (want,) = vjp(ct)
+    got = ta._pallas_pair_bwd(p, y, ct, heads, g, 1e-5, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-4, atol=5e-5)
+
+    y_fm = y.transpose(0, 2, 1, 3)
+    ct_fm = ct.transpose(0, 2, 1, 3)
+    got_fm = ta._pallas_pair_bwd(p, y_fm, ct_fm, heads, g, 1e-5,
+                                 frames_major=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_fm.transpose(0, 2, 1, 3)),
+                               np.asarray(want), rtol=5e-4, atol=5e-5)
+
+
+def test_pick_g_bwd():
+    assert ta._pick_g_bwd(2880, 320) == 16
+    assert ta._pick_g_bwd(720, 640) == 8   # VMEM cap at wide channels
+    assert ta._pick_g_bwd(7, 320) == 0     # no divisor
