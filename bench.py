@@ -260,13 +260,21 @@ def main():
     n_trials = 1 if tiny else 3
     t0 = time.time()
     pending = None
+    dispatch = 0.0
     for i in range(n_trials):
+        td = time.time()
         fut = run(i + 1)
+        dispatch += time.time() - td
         if pending is not None:
             np.asarray(pending)
         pending = fut
     np.asarray(pending)
     sec = (time.time() - t0) / n_trials
+    # Host-side serial cost per video (prompt encode, box rasterization,
+    # guidance-pack transfers, dispatch) — the part device work can't hide.
+    print(json.dumps({"metric": "host_dispatch_sec",
+                      "value": round(dispatch / n_trials, 3)}),
+          file=sys.stderr)
 
     metric = "sec_per_video"
     if gligen:

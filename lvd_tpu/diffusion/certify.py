@@ -91,41 +91,43 @@ def guidance_effect(
     t = coeffs.timestep[0]
     s1ma = coeffs.sqrt_one_minus_abar[0]
 
-    def energy(lat):
+    def energy(lat, params, txt, g):
         _, aux = apply_unet3d(
-            unet_params, unet_cfg, dpm.scale_model_input(lat), t, cond_text,
+            params, unet_cfg, dpm.scale_model_input(lat), t, txt,
             capture_keys=keys, capture_only=True,
             remat=g_cfg.energy_remat != "none",
         )
-        return compute_ca_energy(aux, guidance, keys, g_cfg) * g_cfg.loss_scale
+        return compute_ca_energy(aux, g, keys, g_cfg) * g_cfg.loss_scale
 
-    def metrics(lat):
+    def metrics(lat, params, txt, g):
         _, aux = apply_unet3d(
-            unet_params, unet_cfg, dpm.scale_model_input(lat), t, cond_text,
+            params, unet_cfg, dpm.scale_model_input(lat), t, txt,
             capture_keys=keys, capture_only=True,
         )
         ratios, dists = [], []
         for k in keys:
             r, d = _key_metrics(
-                aux[k], guidance.masks[k], guidance.token_indices,
-                guidance.token_mask,
+                aux[k], g.masks[k], g.token_indices, g.token_mask,
             )
             ratios.append(r)
             dists.append(d)
         return jnp.stack(ratios).mean(), jnp.stack(dists).mean()
 
+    # Params/text/guidance enter as jit ARGUMENTS — closing over them bakes
+    # the full weight pytree into the lowering as constants (GBs).
     @jax.jit
-    def run(lat):
-        before = metrics(lat)
+    def run(lat, params, txt, g):
+        before = metrics(lat, params, txt, g)
 
         def body(_, l):
-            _, grad = jax.value_and_grad(energy)(l)
+            _, grad = jax.value_and_grad(energy)(l, params, txt, g)
             return l - (s1ma * grad.astype(jnp.float32)).astype(l.dtype)
 
         lat2 = jax.lax.fori_loop(0, n_iters, body, lat)
-        return before, metrics(lat2)
+        return before, metrics(lat2, params, txt, g)
 
-    (r0, d0), (r1, d1) = jax.tree_util.tree_map(float, run(latents))
+    (r0, d0), (r1, d1) = jax.tree_util.tree_map(
+        float, run(latents, unet_params, cond_text, guidance))
     return {
         "inbox_before": r0,
         "inbox_after": r1,

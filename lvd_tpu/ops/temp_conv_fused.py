@@ -164,8 +164,12 @@ def _fused(x, a, b, w, bias, *, block_p: int = None, interpret: bool = False,
     # with the scratch-accumulate row-shift form; wide levels keep the
     # simple single-pass kernel.
     if variant is None:
-        if c <= 384 and block_p % 4 == 0:
-            variant, nb = "taps", 4
+        # Round-4 sweep (tools/sweep_temp_conv.py, real chip): L0 cat3
+        # 0.783-0.788 ms vs taps-nb4 0.848 (the K=3C contraction fills
+        # 960->1024 MXU tiles instead of three 320->384 ones); L1 keeps
+        # rowshift (0.438 vs cat3 0.448); L2 keeps plain taps (~tie).
+        if c <= 384 and block_p % 2 == 0:
+            variant, nb = "cat3", 2
         elif c <= 640:
             variant = "rowshift"
         else:

@@ -320,13 +320,25 @@ def _pallas_pair(p, y, num_heads: int, g: int, eps: float,
     )(*inputs)
 
 
-def _pick_g_bwd(pdim: int, c: int) -> int:
-    # The backward holds two fp32 (R, 3C) qkv blocks + dqkv + per-head
-    # (R, R) transients alongside both attentions' weights; at C=640 the
-    # G=16 tile (R=384) exceeds scoped VMEM, G=8 fits (~13 MB est).
-    cap = 16 if c <= 384 else 8
-    for g in (16, 12, 10, 8, 6, 5, 4):
-        if g <= cap and pdim % g == 0:
+def _pick_g_bwd(pdim: int, c: int, frames_major: bool = False) -> int:
+    # The backward holds the (R, 3C) qkv blocks + dqkv + per-head (R, R)
+    # transients alongside both attentions' weights. Round-4 sweep
+    # (tools/sweep_pair_g.py, real chip): at C=320 g=10 is fastest
+    # pixels-major (3.84 ms vs 4.37 at g=16, energy shape — the dense
+    # block-diag (R, R) dots charge G-fold FLOPs, so mid G wins). In the
+    # frames-major layout the tile is (1, F, g, C), and Pallas requires the
+    # second-minor block dim to be a multiple of 8 — g is restricted to
+    # 8/16 there. At C=640 the fp32-qkv form hit 17.34M scoped VMEM inside
+    # the guided-update fusion at g=8; qkv/dqkv now stay bf16, halving that.
+    if frames_major:
+        # C=640 frames-major exhausts scoped VMEM at every legal g (g=8 hit
+        # 17.34M/16.62M inside the guided-update fusion even with leaner
+        # buffers) — those instances keep the recompute VJP.
+        order = (8, 16) if c <= 384 else ()
+    else:
+        order = (10, 16, 12, 8, 6, 5, 4) if c <= 384 else (6, 5, 4)
+    for g in order:
+        if pdim % g == 0:
             return g
     return 0
 
@@ -446,10 +458,20 @@ def _fused_pair_bwd(num_heads, g, eps, frames_major, res, ct):
     # recompute semantics for training.
     pdim = y.shape[2] if frames_major else y.shape[1]
     c = y.shape[-1]
-    g_bwd = _pick_g_bwd(pdim, c)
-    if jax.default_backend() == "tpu" and g_bwd > 0:
-        dy = _pallas_pair_bwd(p, y, ct, num_heads, g_bwd, eps,
-                              frames_major=frames_major)
+    g_bwd = _pick_g_bwd(pdim, c, frames_major)
+    if jax.default_backend() == "tpu":
+        if g_bwd > 0:
+            dy = _pallas_pair_bwd(p, y, ct, num_heads, g_bwd, eps,
+                                  frames_major=frames_major)
+        elif frames_major and _pick_g_bwd(pdim, c, False) > 0:
+            # No legal frames-major tile (C=640: g must be 8/16 and both
+            # blow scoped VMEM) but the pixels-major kernel fits at g=6 —
+            # two whole-stream transposes (~0.2 ms at the L1 energy shape)
+            # buy a 4.8 -> 3.1 ms backward.
+            tr = lambda t: t.transpose(0, 2, 1, 3)
+            dy = tr(_pallas_pair_bwd(
+                p, tr(y), tr(ct), num_heads, _pick_g_bwd(pdim, c, False),
+                eps, frames_major=False))
     return dp, dy
 
 

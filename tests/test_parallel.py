@@ -42,12 +42,21 @@ def _tiny_batch(cfg, b, f=2, h=8, w=8, m=3):
     }
 
 
-def test_train_step_runs_and_learns():
+@pytest.fixture(scope="module")
+def single_device_trainer():
+    """One Trainer + jitted step + params shared by every single-device
+    training test in this module (the step compile is the dominant cost on
+    the 1-core CI host; the tests only differ in what they do with it)."""
     cfg = tiny_unet_config()
     params = init_unet3d(jax.random.PRNGKey(0), cfg)
     trainer = Trainer(unet_cfg=cfg, learning_rate=1e-3)
-    state = trainer.init(params)
     step = trainer.make_step(donate=False)
+    return cfg, params, trainer, step
+
+
+def test_train_step_runs_and_learns(single_device_trainer):
+    cfg, params, trainer, step = single_device_trainer
+    state = trainer.init(params)
     batch = _tiny_batch(cfg, b=2)
     losses = []
     rng = jax.random.PRNGKey(0)
@@ -59,18 +68,17 @@ def test_train_step_runs_and_learns():
     assert losses[-1] < losses[0]
 
 
-def test_sharded_train_step_matches_single_device():
-    cfg = tiny_unet_config()
-    params = init_unet3d(jax.random.PRNGKey(0), cfg)
+def test_sharded_train_step_matches_single_device(single_device_trainer):
+    cfg, params, trainer, step_s = single_device_trainer
     batch = _tiny_batch(cfg, b=4)
     rng = jax.random.PRNGKey(1)
 
-    trainer = Trainer(unet_cfg=cfg)
     state_s = trainer.init(params)
-    step_s = trainer.make_step(donate=False)
     _, loss_single = step_s(state_s, batch, rng)
 
-    mesh = mesh_mod.make_mesh(8, model_parallel=2)
+    # 2-way dp x 2-way tp exercises both mesh axes; 4 virtual devices halve
+    # the SPMD-simulation compile vs the 8-device mesh on the 1-core host.
+    mesh = mesh_mod.make_mesh(4, model_parallel=2)
     trainer2 = Trainer(unet_cfg=cfg)
     with mesh:
         state_m = trainer2.init(params, mesh=mesh)
@@ -118,14 +126,11 @@ def test_adapter_only_training_freezes_base():
     )
 
 
-def test_train_state_checkpoint_roundtrip(tmp_path):
+def test_train_state_checkpoint_roundtrip(tmp_path, single_device_trainer):
     from lvd_tpu.training.train import restore_train_state, save_train_state
 
-    cfg = tiny_unet_config()
-    params = init_unet3d(jax.random.PRNGKey(0), cfg)
-    trainer = Trainer(unet_cfg=cfg)
+    cfg, params, trainer, step = single_device_trainer
     state = trainer.init(params)
-    step = trainer.make_step(donate=False)
     batch = _tiny_batch(cfg, b=2)
     state, _ = step(state, batch, jax.random.PRNGKey(0))
 

@@ -145,6 +145,11 @@ def test_pallas_backward_matches_reference_dy():
 
 
 def test_pick_g_bwd():
-    assert ta._pick_g_bwd(2880, 320) == 16
-    assert ta._pick_g_bwd(720, 640) == 8   # VMEM cap at wide channels
-    assert ta._pick_g_bwd(7, 320) == 0     # no divisor
+    assert ta._pick_g_bwd(2880, 320) == 10  # sweep-fastest at C=320
+    assert ta._pick_g_bwd(720, 640) == 6    # VMEM cap at wide channels
+    assert ta._pick_g_bwd(7, 320) == 0      # no divisor
+    # frames-major tiles are (1, F, g, C): Pallas wants g % 8 == 0, and
+    # C=640 frames-major exceeds scoped VMEM at every legal g
+    assert ta._pick_g_bwd(2880, 320, frames_major=True) in (8, 16)
+    assert ta._pick_g_bwd(720, 640, frames_major=True) == 0
+    assert ta._pick_g_bwd(20, 320, frames_major=True) == 0
