@@ -212,7 +212,7 @@ def main():
         eff = guidance_effect(
             pipe.unet_params, preset_.unet, preset_.scheduler,
             lat0, cond_text, pack_to_arrays(pack), attn_keys, g_cfg,
-            num_inference_steps=steps,
+            num_inference_steps=steps, n_iters=4 if tiny else 16,
         )
         print(json.dumps({
             "metric": "guidance_inbox_gain",

@@ -117,14 +117,21 @@ def guidance_effect(
     # the full weight pytree into the lowering as constants (GBs).
     @jax.jit
     def run(lat, params, txt, g):
+        dt = lat.dtype
         before = metrics(lat, params, txt, g)
 
+        # The latent carry accumulates in fp32: per-iteration guidance
+        # updates are small relative to the unit-scale noise latent, and a
+        # bf16 carry quantizes them away (measured flagship gain collapsed
+        # to 1.0007 with a bf16 carry vs the real effect). The UNet still
+        # runs in the production dtype.
         def body(_, l):
-            _, grad = jax.value_and_grad(energy)(l, params, txt, g)
-            return l - (s1ma * grad.astype(jnp.float32)).astype(l.dtype)
+            _, grad = jax.value_and_grad(
+                lambda x: energy(x.astype(dt), params, txt, g))(l)
+            return l - s1ma * grad
 
-        lat2 = jax.lax.fori_loop(0, n_iters, body, lat)
-        return before, metrics(lat2, params, txt, g)
+        lat2 = jax.lax.fori_loop(0, n_iters, body, lat.astype(jnp.float32))
+        return before, metrics(lat2.astype(dt), params, txt, g)
 
     (r0, d0), (r1, d1) = jax.tree_util.tree_map(
         float, run(latents, unet_params, cond_text, guidance))

@@ -106,15 +106,24 @@ def sample_video(
         # cond half of the flattened (2B*F, ...) grounding inputs
         gligen_cond = {k: v[b * f :] for k, v in gligen_pair.items()}
 
+    # The latent carry runs in fp32 end-to-end (1 MB — free): guidance
+    # updates are small relative to the unit-scale noise latent and sit
+    # below the bf16 ulp (~7.8e-3 at 1.0), so a bf16 carry silently rounds
+    # them away — measured in-box attention gain collapsed to 1.0007 with a
+    # bf16 carry. The reference's fp16 latents (controllable_pipeline) have
+    # 8x finer resolution and never hit this. The UNet still consumes the
+    # production dtype (``model_dt``).
+    model_dt = latents.dtype
+
     def make_step(with_guidance: bool, with_gligen: bool):
-        def energy(lat, t):
+        def energy(lat32, t):
             # capture_only: the energy consumes attention maps, not the
             # noise prediction — the UNet walk stops at the last captured
             # site (skipping up block 3 + conv_out for the standard keys).
             _, aux = apply_unet3d(
                 unet_params,
                 unet_cfg,
-                dpm.scale_model_input(lat),
+                dpm.scale_model_input(lat32).astype(model_dt),
                 t,
                 cond_text,
                 capture_keys=keys,
@@ -134,9 +143,7 @@ def sample_video(
                 def g_body(val):
                     lat_i, _, it = val
                     l, grad = jax.value_and_grad(energy)(lat_i, c.timestep)
-                    lat_i = lat_i - (
-                        c.sqrt_one_minus_abar * grad.astype(jnp.float32)
-                    ).astype(lat_i.dtype)
+                    lat_i = lat_i - c.sqrt_one_minus_abar * grad
                     return lat_i, l, it + 1
 
                 def g_cond(val):
@@ -150,7 +157,7 @@ def sample_video(
                     g_cond, g_body, (lat, loss, jnp.int32(0))
                 )
 
-            lat_in = jnp.concatenate([lat, lat], axis=0)
+            lat_in = jnp.concatenate([lat, lat], axis=0).astype(model_dt)
             eps, _ = apply_unet3d(
                 unet_params,
                 unet_cfg,
@@ -168,9 +175,10 @@ def sample_video(
 
         return step_fn
 
-    state = dpm.init_state_like(latents)
+    lat32 = latents.astype(jnp.float32)
+    state = dpm.init_state_like(lat32)
     loss = jnp.float32(1e10)  # "always guide on the first step"
-    carry = (latents, state, loss)
+    carry = (lat32, state, loss)
 
     for start, end in segments:
         step_fn = make_step(
@@ -179,4 +187,4 @@ def sample_video(
         )
         carry, _ = jax.lax.scan(step_fn, carry, _slice_coeffs(coeffs, start, end))
 
-    return carry[0]
+    return carry[0].astype(model_dt)

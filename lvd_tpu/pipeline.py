@@ -396,7 +396,11 @@ class TextToVideoPipeline:
                 self.unet_params, latents, text_pair, coeffs, guidance_arrays,
                 gligen_pair,
             )
-            final.block_until_ready()
+            if output_type != "uint8_device":
+                # uint8_device is the async-pipelining path: the caller
+                # overlaps video i's device->host transfer with video i+1's
+                # host work + sampling, so nothing may block here.
+                final.block_until_ready()
 
         if output_type == "latent":
             return final

@@ -64,11 +64,14 @@ def generate_semantic_guidance(
     keys = tuple(tuple(k) for k in guidance_attn_keys)
     b = latents.shape[0]
     cond_text = text_pair[b:]
+    # fp32 latent carry (see diffusion/sampler.py): guidance updates round
+    # away in a bf16 carry; the UNet still consumes the production dtype.
+    model_dt = latents.dtype
 
     def make_step(with_guidance, with_gligen):
-        def energy(lat, t):
+        def energy(lat32, t):
             _, aux = apply_unet2d(
-                unet_params, unet_cfg, lat, t, cond_text,
+                unet_params, unet_cfg, lat32.astype(model_dt), t, cond_text,
                 capture_keys=keys, remat=True,
                 gligen=gligen if with_gligen else None,
             )
@@ -80,9 +83,7 @@ def generate_semantic_guidance(
                 def g_body(val):
                     lat_i, _, it = val
                     l, grad = jax.value_and_grad(energy)(lat_i, c.timestep)
-                    lat_i = lat_i - (
-                        c.sqrt_one_minus_abar * grad.astype(jnp.float32)
-                    ).astype(lat_i.dtype)
+                    lat_i = lat_i - c.sqrt_one_minus_abar * grad
                     return lat_i, l, it + 1
 
                 def g_cond(val):
@@ -96,7 +97,7 @@ def generate_semantic_guidance(
                     g_cond, g_body, (lat, loss, jnp.int32(0))
                 )
 
-            lat_in = jnp.concatenate([lat, lat], axis=0)
+            lat_in = jnp.concatenate([lat, lat], axis=0).astype(model_dt)
             g_pair = None
             if with_gligen:
                 g_pair = {k: jnp.concatenate([v, v], 0) for k, v in gligen.items()}
@@ -107,12 +108,14 @@ def generate_semantic_guidance(
             eps_u, eps_c = eps[:b], eps[b:]
             eps_cfg = eps_u + guidance_scale * (eps_c - eps_u)
             state, lat = dpm.step(state, c, lat, eps_cfg)
-            return (lat, state, loss), (lat if save_all_latents else None)
+            return (lat, state, loss), (
+                lat.astype(model_dt) if save_all_latents else None)
 
         return step_fn
 
-    state = dpm.init_state(latents.shape, latents.dtype)
-    carry = (latents, state, jnp.float32(1e10))
+    lat32 = latents.astype(jnp.float32)
+    state = dpm.init_state(latents.shape, jnp.float32)
+    carry = (lat32, state, jnp.float32(1e10))
     history = [latents] if save_all_latents else None
 
     def _slice(coeffs, s, e):
@@ -127,7 +130,7 @@ def generate_semantic_guidance(
         if save_all_latents:
             history.append(ys)
 
-    final = carry[0]
+    final = carry[0].astype(model_dt)
     if save_all_latents:
         all_latents = jnp.concatenate(
             [history[0][None]] + history[1:], axis=0
