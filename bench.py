@@ -251,7 +251,10 @@ def main():
         census = audit_collectives(
             shard_map(_fwd, mesh=mesh,
                       in_specs=(P(), P(None, "data"), P()),
-                      out_specs=P(None, "data")),
+                      out_specs=P(None, "data"),
+                      # On TPU the Pallas kernels engage; their out_shape
+                      # ShapeDtypeStructs carry no vma annotation.
+                      check_vma=False),
             pipe.unet_params, lat_s, txt_s, n_devices=n_mesh,
         )
         print(json.dumps({"collective_census_per_cfg_fwd": census}),

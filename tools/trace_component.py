@@ -5,6 +5,13 @@ Runs the chosen component from tools/profile_step.py under
 source frame carried in each XLA fusion's metadata (PERF.md round-3
 methodology). Prints one JSON line per source family plus a total.
 
+KNOWN-BROKEN since the round-4 axon runtime: the tunnel profiler's
+trace.json.gz now carries only host-side init events — the fori_loop's
+device ops never appear (round-3 captured them fine). Until the runtime
+profiler recovers, drive perf work with tools/profile_step.py component
+timings plus the standalone kernel sweeps (tools/sweep_*.py); see the
+PERF.md round-4 note.
+
 Usage: python tools/trace_component.py guided_update [n_iters]
 """
 
