@@ -478,18 +478,26 @@ def _fused_pair_bwd(num_heads, g, eps, frames_major, res, ct):
 _fused_pair.defvjp(_fused_pair_fwd, _fused_pair_bwd)
 
 
-def _pick_g(pdim: int) -> int:
+def _pick_g(pdim: int, frames_major: bool = False) -> int:
     # Largest measured-good tile (G=16 at L0: 5.4 vs 7.8 ms for the XLA
     # path; G=5 was slower than XLA — too many tiny dependent dots per
     # program). Smaller divisors keep the kernel available for sharded
-    # pixel counts (e.g. P_local=360 under 8-way frame sharding).
-    for g in (16, 12, 10, 8, 6, 5, 4):
+    # pixel counts (e.g. P_local=360 under 8-way frame sharding after the
+    # temporal all_to_all). Frames-major tiles are (1, F, g, C): Pallas
+    # requires the second-minor block dim to be a multiple of 8 (or equal
+    # the full array dim), so only g=16/8 — or g=pdim itself — are legal
+    # there (a g=12 block at P_local=360 fails to lower on real TPU).
+    order = (16, 8) if frames_major else (16, 12, 10, 8, 6, 5, 4)
+    for g in order:
         if pdim % g == 0:
             return g
+    if frames_major and pdim <= 16:
+        return pdim  # whole-array block: always legal
     return 0
 
 
-def _supported(pdim: int, c: int, num_heads: int, dtype) -> bool:
+def _supported(pdim: int, c: int, num_heads: int, dtype,
+               frames_major: bool = False) -> bool:
     d = c // num_heads
     # Measured: with the fused-qkv projection the kernel wins through C=640
     # (g=16: 2.07 vs 2.50 ms XLA at L1). C=1280 would blow the VMEM weight
@@ -499,7 +507,7 @@ def _supported(pdim: int, c: int, num_heads: int, dtype) -> bool:
         and dtype in (jnp.bfloat16, jnp.float32)
         and d == 64
         and c <= 640
-        and _pick_g(pdim) > 0
+        and _pick_g(pdim, frames_major) > 0
     )
 
 
@@ -511,7 +519,7 @@ def supported(y, num_heads: int) -> bool:
 def supported_frames_major(y, num_heads: int) -> bool:
     """Same kernel gate for (B, F, P, C) input."""
     b, f, pdim, c = y.shape
-    return _supported(pdim, c, num_heads, y.dtype)
+    return _supported(pdim, c, num_heads, y.dtype, frames_major=True)
 
 
 def temporal_attention_pair(p, y, num_heads: int, eps: float = 1e-5,
@@ -523,7 +531,9 @@ def temporal_attention_pair(p, y, num_heads: int, eps: float = 1e-5,
     outside (ops.geglu_fused handles it)."""
     if frames_major:
         if supported_frames_major(y, num_heads):
-            return _fused_pair(p, y, num_heads, _pick_g(y.shape[2]), eps, True)
+            return _fused_pair(p, y, num_heads,
+                               _pick_g(y.shape[2], frames_major=True),
+                               eps, True)
         return _pair_ref_fm(p, y, num_heads, eps)
     if supported(y, num_heads):
         return _fused_pair(p, y, num_heads, _pick_g(y.shape[1]), eps, False)

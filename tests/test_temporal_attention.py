@@ -153,3 +153,15 @@ def test_pick_g_bwd():
     assert ta._pick_g_bwd(2880, 320, frames_major=True) in (8, 16)
     assert ta._pick_g_bwd(720, 640, frames_major=True) == 0
     assert ta._pick_g_bwd(20, 320, frames_major=True) == 0
+
+
+def test_pick_g_frames_major_legal():
+    """Forward tile legality: frames-major blocks are (1, F, g, C), so g
+    must be a multiple of 8 (Pallas second-minor rule) — in particular at
+    the sharded P_local=360 (8-way mesh after the temporal all_to_all),
+    where the pixels-major picker would choose an illegal g=12."""
+    assert ta._pick_g(360) == 12                      # pixels-major: fine
+    assert ta._pick_g(360, frames_major=True) == 8    # 12 would not lower
+    assert ta._pick_g(2880, frames_major=True) == 16
+    assert ta._pick_g(20, frames_major=True) == 0
+    assert ta._pick_g(15, frames_major=True) == 15    # whole-dim block
