@@ -75,12 +75,14 @@ def group_norm_coeffs(p, x, num_groups: int = 32, eps: float = 1e-5,
 
     # Per-channel sums/sumsqs with fp32 accumulation; the fp32 casts feed
     # reductions directly so no fp32 copy of x is ever materialized.
+    # The sum-of-squares must be a plain reduce, NOT an einsum: einsum
+    # lowers to a dot_general contracting the (long) pixel axis, and XLA
+    # layout assignment then wants pixels on lanes ({1,0,2}) — relayouting
+    # the whole activation stream at every GroupNorm site (round-4 HLO
+    # census: 88.5 MB {1,0,2} copies per L0 norm).
     s1c = jnp.sum(xr, axis=1, dtype=jnp.float32)  # (n, c)
-    s2c = jnp.einsum(
-        "nsc,nsc->nc",
-        xr.astype(jnp.float32),
-        xr.astype(jnp.float32),
-    )
+    x32 = xr.astype(jnp.float32)
+    s2c = jnp.sum(x32 * x32, axis=1)
     s1 = s1c @ onehot  # (n, g)
     s2 = s2c @ onehot
     if axis_name is not None:

@@ -83,7 +83,12 @@ def main():
             return jax.tree_util.tree_reduce(
                 lambda a, x: a + x.astype(jnp.float32).sum(), out, jnp.float32(0)
             )
-        fn = jax.jit(wrapped)
+        copts = {
+            kv.split("=", 1)[0]: kv.split("=", 1)[1]
+            for kv in os.environ.get("LVD_COMPILER_OPTIONS", "").split(",")
+            if "=" in kv
+        } or None
+        fn = jax.jit(wrapped, compiler_options=copts)
         float(fn(init_carry, *operands))  # compile + warm
         t0 = time.time()
         s = float(fn(init_carry, *operands))
