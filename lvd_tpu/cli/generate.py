@@ -53,7 +53,8 @@ FLOAT_ARGS = [
 ]
 INT_ARGS = [
     "num_inference_steps", "max_iter", "max_index_step", "num_frames",
-    "use_ratio_based_loss", "boxdiff_normed",
+    "use_ratio_based_loss", "boxdiff_normed", "boxdiff_L",
+    "upsample_scale",
 ]
 
 

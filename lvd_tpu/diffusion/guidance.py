@@ -49,8 +49,25 @@ class GuidanceConfig:
     attn_sync_weight: float = 0.0
     boxdiff_loss_scale: float = 0.0
     boxdiff_normed: bool = True
+    # Corner-band half-width of the BoxDiff loss (reference
+    # utils/guidance.py:189,433-465: bands of width 2L+1 around each box
+    # x/y extent).
+    boxdiff_L: int = 1
     com_loss_scale: float = 0.0
     eps: float = 1e-2
+    # Re-softmax of the captured maps over the real prompt tokens only
+    # (reference utils/guidance.py:220-222): drop SOT and padding/EOT,
+    # rescale by renorm_scale, softmax over the remaining token axis.
+    # ``renorm_num_tokens`` is the prompt's true token count INCLUDING
+    # SOT/EOT (static per video; the reference reads it from the token map).
+    attn_renorm: bool = False
+    renorm_scale: float = 2.0
+    renorm_num_tokens: int = 0
+    # Bilinear upsampling of per-token maps before the energy (reference
+    # utils/guidance.py:297-310); masks must be rasterized at the upsampled
+    # resolution (make_guidance_pack(upsample_scale=...)).
+    upsample_scale: int = 1
+    upsample_mode: str = "bilinear"
     # Gaussian smoothing of token attention maps before the energy. Unlike
     # the reference (which blurs over the flattened (HW, token) plane,
     # utils/guidance.py:210-218), smoothing here is applied spatially per
@@ -197,13 +214,28 @@ def ca_energy_for_key(
     n_f, n_heads, hw, _ = attn.shape
     n_obj, n_p = token_indices.shape
     hk, wk = masks.shape[2], masks.shape[3]
-    assert hk * wk == hw, f"mask grid {hk}x{wk} != attn dim {hw}"
+    s_up = int(cfg.upsample_scale)
+    if s_up != 1:
+        assert hk % s_up == 0 and wk % s_up == 0 and (
+            (hk // s_up) * (wk // s_up) == hw
+        ), f"mask grid {hk}x{wk} not {s_up}x the attn dim {hw}"
+    else:
+        assert hk * wk == hw, f"mask grid {hk}x{wk} != attn dim {hw}"
 
     attn = attn.astype(jnp.float32)
+    if cfg.attn_renorm:
+        # Reference utils/guidance.py:220-222: drop SOT and the tail at/after
+        # EOT, rescale, re-softmax over the remaining token axis; gathers
+        # below then address the sliced axis (token index - 1).
+        nt = int(cfg.renorm_num_tokens)
+        assert nt > 2, "attn_renorm needs renorm_num_tokens (prompt length)"
+        attn = jax.nn.softmax(attn[..., 1 : nt - 1] * cfg.renorm_scale, axis=-1)
+        token_indices = token_indices - 1
     # Gather object-token maps as a one-hot matmul: (F, heads, HW, L) @
     # (L, O*P) -> (F, heads, HW, O*P). jnp.take's backward is a scatter into
     # the full (F, h, HW, L) probs (9 ms per key in the guided-step
-    # profile); the matmul's backward is another matmul.
+    # profile); the matmul's backward is another matmul. Out-of-range
+    # indices (renorm shift) produce all-zero rows; token_mask kills them.
     n_l = attn.shape[-1]
     onehot = (
         token_indices.reshape(-1)[None, :] == jnp.arange(n_l)[:, None]
@@ -211,6 +243,17 @@ def ca_energy_for_key(
     gathered = attn @ onehot
     gathered = gathered.reshape(n_f, n_heads, hw, n_obj, n_p)
     a = jnp.transpose(gathered, (3, 4, 0, 1, 2))  # (O, P, F, h, HW)
+    if s_up != 1:
+        # Per-token map upsampling (reference utils/guidance.py:297-310).
+        method = {"bilinear": "bilinear", "nearest": "nearest"}[
+            cfg.upsample_mode
+        ]
+        a = jax.image.resize(
+            a.reshape(n_obj, n_p, n_f, n_heads, hk // s_up, wk // s_up),
+            (n_obj, n_p, n_f, n_heads, hk, wk),
+            method=method,
+        ).reshape(n_obj, n_p, n_f, n_heads, hk * wk)
+        hw = hk * wk
 
     if cfg.smooth_attn:
         from ..ops.smoothing import smooth_attn_maps
@@ -272,7 +315,9 @@ def ca_energy_for_key(
     if cfg.boxdiff_loss_scale > 0.0:
         # Corner constraint (BoxDiff, utils/guidance.py:433-465) with corner
         # bands of width 1 around box x/y extents.
-        corner_x, corner_y = _corner_bands(masks)  # (O, F, Wk), (O, F, Hk)
+        corner_x, corner_y = _corner_bands(
+            masks, band=int(cfg.boxdiff_L)
+        )  # (O, F, Wk), (O, F, Hk)
         ca_max_x = a2d.max(-2)                    # (O, P, F, h, Wk)
         ca_max_y = a2d.max(-1)                    # (O, P, F, h, Hk)
         m_max_x = m2d.max(-2)                     # (O, 1, F, 1, Wk)

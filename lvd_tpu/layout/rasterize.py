@@ -94,16 +94,22 @@ def make_guidance_pack(
     fg_top_p: float = 0.75,
     bg_top_p: float = 0.75,
     max_tokens_per_obj: int = None,
+    upsample_scale: int = 1,
 ) -> GuidancePack:
     """Build all static-shape inputs the jitted CA energy needs.
 
     boxes: (O, F, 4) normalized xyxy (from Condition.boxes)
     object_positions: per-object token-index lists (from Condition)
+    upsample_scale: rasterize masks (and compute top-k sizes) at
+        ``upsample_scale`` x the attention resolution — pairs with
+        GuidanceConfig.upsample_scale, which resizes the per-token maps to
+        the same grid (reference utils/guidance.py:226,238-244,297-310).
     """
     n_obj = len(boxes)
     masks, k_fg, k_bg = {}, {}, {}
     for key in guidance_attn_keys:
         hk, wk = resolution_of_key(tuple(key), latent_hw)
+        hk, wk = hk * int(upsample_scale), wk * int(upsample_scale)
         m = boxes_to_masks(boxes, hk, wk)  # (O, F, Hk, Wk)
         masks[tuple(key)] = m
         fg_area = m.sum(axis=(2, 3))

@@ -375,6 +375,7 @@ class TextToVideoPipeline:
                     (h_lat, w_lat),
                     fg_top_p=g_cfg.fg_top_p,
                     bg_top_p=g_cfg.bg_top_p,
+                    upsample_scale=g_cfg.upsample_scale,
                 )
             guidance_arrays = sampler_mod.pack_to_arrays(pack)
 

@@ -46,8 +46,11 @@ def run(
     attn_sync_weight=0.0,
     boxdiff_loss_scale=0.0,
     boxdiff_normed=True,
+    boxdiff_L=1,
     com_loss_scale=0.0,
     use_ratio_based_loss=False,
+    upsample_scale=1,
+    upsample_mode="bilinear",
     save_formats=("gif", "joblib"),
 ):
     out = base.output_path(seed, repeat_ind)
@@ -70,8 +73,11 @@ def run(
         attn_sync_weight=attn_sync_weight,
         boxdiff_loss_scale=boxdiff_loss_scale,
         boxdiff_normed=boxdiff_normed,
+        boxdiff_L=boxdiff_L,
         com_loss_scale=com_loss_scale,
         use_ratio_based_loss=use_ratio_based_loss,
+        upsample_scale=upsample_scale,
+        upsample_mode=upsample_mode,
     )
 
     video = _state.pipe(

@@ -192,6 +192,68 @@ def test_ca_energy_variants_finite():
         assert np.isfinite(float(val)), cfg
 
 
+def test_ca_energy_research_knobs():
+    """The round-5 energy-surface knobs (reference utils/guidance.py:
+    attn_renorm :220-222, upsample_scale/mode :297-310, boxdiff_L :433-465)
+    must run, differentiate, and differ from the defaults when engaged."""
+    pack, attn, keys = _toy_pack_and_attn()
+    key = keys[0]
+
+    def energy(a, cfg, pk=None):
+        pk = pk or pack
+        return ca_energy_for_key(
+            a,
+            jnp.asarray(pk.masks[key]),
+            jnp.asarray(pk.token_indices),
+            jnp.asarray(pk.token_mask),
+            jnp.asarray(pk.k_fg[key]),
+            jnp.asarray(pk.k_bg[key]),
+            cfg,
+        )
+
+    base_cfg = GuidanceConfig(fg_top_p=0.5, bg_top_p=0.5)
+    base = float(energy(attn, base_cfg))
+
+    # attn_renorm: re-softmax over the 14 real prompt tokens (16 incl.
+    # SOT/EOT), token gathers shift by -1.
+    rn_cfg = GuidanceConfig(
+        fg_top_p=0.5, bg_top_p=0.5, attn_renorm=True, renorm_num_tokens=16
+    )
+    rn = float(energy(attn, rn_cfg))
+    assert np.isfinite(rn) and rn != base
+    g = jax.grad(lambda a: energy(a, rn_cfg))(attn)
+    assert bool(jnp.all(jnp.isfinite(g)))
+
+    # boxdiff_L widens the corner bands -> different corner loss.
+    l1 = float(energy(attn, GuidanceConfig(boxdiff_loss_scale=0.5, boxdiff_L=1)))
+    l3 = float(energy(attn, GuidanceConfig(boxdiff_loss_scale=0.5, boxdiff_L=3)))
+    assert np.isfinite(l1) and np.isfinite(l3) and l1 != l3
+
+    # upsample_scale=2 with nearest resampling replicates each attention
+    # cell 4x and rasterizes masks/top-k at the doubled grid; for the
+    # max-based loss with a round-friendly box the top-k means are then
+    # EXACTLY the base-resolution ones (k and area both scale by 4).
+    h, w, f = 8, 12, 3
+    boxes = [[[0.25, 0.25, 0.75, 0.75]] * f]
+    positions = [[2]]
+    pack1 = make_guidance_pack(boxes, positions, keys, (h, w), 0.5, 0.5)
+    pack2 = make_guidance_pack(
+        boxes, positions, keys, (h, w), 0.5, 0.5, upsample_scale=2
+    )
+    assert pack2.masks[key].shape == (1, f, 2 * h, 2 * w)
+    np.testing.assert_array_equal(pack2.k_fg[key], 4 * pack1.k_fg[key])
+    e1 = float(energy(attn, GuidanceConfig(fg_top_p=0.5, bg_top_p=0.5), pack1))
+    up_cfg = GuidanceConfig(
+        fg_top_p=0.5, bg_top_p=0.5, upsample_scale=2, upsample_mode="nearest"
+    )
+    e2 = float(energy(attn, up_cfg, pack2))
+    np.testing.assert_allclose(e2, e1, rtol=1e-5)
+    # bilinear runs and differentiates too
+    bl_cfg = GuidanceConfig(fg_top_p=0.5, bg_top_p=0.5, upsample_scale=2)
+    g2 = jax.grad(lambda a: energy(a, bl_cfg, pack2))(attn)
+    assert bool(jnp.all(jnp.isfinite(g2)))
+
+
 def test_guidance_effect_certification():
     """diffusion/certify.guidance_effect (the bench-warmup stand-in for the
     env-blocked OWL-ViT accuracy benchmark): applying the sampler's guided
