@@ -21,6 +21,8 @@ import os
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+
+from .vma import pallas_call as vma_pallas_call
 from jax.experimental.pallas import tpu as pltpu
 
 # GELU formulation for the gate. "exact" is the erf form the reference uses
@@ -162,7 +164,7 @@ def _fused_rows_resident(x, w1, b1, w2, b2, *, block_m: int, nk: int,
     b1h, b1g = b1[None, :inner], b1[None, inner:]
     full = lambda shape: pl.BlockSpec(
         shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
-    return pl.pallas_call(
+    return vma_pallas_call(
         functools.partial(_geglu_kernel_resident, nk=nk, form=GELU_FORM),
         grid=(pl.cdiv(r, block_m),),
         in_specs=[
@@ -225,7 +227,7 @@ def _fused_rows(x, w1, b1, w2, b2, *, block_m: int = None, block_k: int = None,
     w1h, w1g = w1[:, :inner], w1[:, inner:]
     b1h, b1g = b1[None, :inner], b1[None, inner:]
 
-    return pl.pallas_call(
+    return vma_pallas_call(
         functools.partial(_geglu_kernel, nk=nk, form=GELU_FORM),
         grid=(pl.cdiv(r, block_m), nk),
         in_specs=[
@@ -314,7 +316,7 @@ def _fused_rows_bwd_resident(x, dy, w1, b1, w2, *, block_m: int = None,
         shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
     tile = pl.BlockSpec((block_m, c), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
-    return pl.pallas_call(
+    return vma_pallas_call(
         functools.partial(_geglu_bwd_kernel_resident, nk=nk, form=GELU_FORM),
         grid=(pl.cdiv(r, block_m),),
         in_specs=[

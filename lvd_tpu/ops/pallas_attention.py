@@ -21,6 +21,8 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+
+from .vma import pallas_call as vma_pallas_call
 from jax.experimental.pallas import tpu as pltpu
 
 
@@ -112,7 +114,7 @@ def _pallas_attention(q, k, v, scale: float, block_q: int = None):
     grid = (bh, pl.cdiv(s_q, block_q))
     scale_arr = jnp.full((1,), scale, jnp.float32)
 
-    return pl.pallas_call(
+    return vma_pallas_call(
         _attn_kernel,
         grid=grid,
         in_specs=[
@@ -153,7 +155,7 @@ def _pallas_attention_heads(q, k, v, scale: float, num_heads: int,
     grid = (b, pl.cdiv(s_q, block_q))
     scale_arr = jnp.full((1,), scale, jnp.float32)
 
-    return pl.pallas_call(
+    return vma_pallas_call(
         functools.partial(_attn_kernel_heads, num_heads=num_heads,
                           pipelined=pipelined),
         grid=grid,
@@ -243,7 +245,7 @@ def _pallas_attention_bwd(q, k, v, o, do, scale: float, block_q: int = 256,
                                 memory_space=pltpu.VMEM)
     full = lambda: pl.BlockSpec((1, s_k, d), lambda b, i: (b, 0, 0),
                                 memory_space=pltpu.VMEM)
-    return pl.pallas_call(
+    return vma_pallas_call(
         functools.partial(_attn_bwd_kernel, nq=nq, s_q=s_q),
         grid=(bh, nq),
         in_specs=[tile(), full(), full(), tile(), tile(),
@@ -357,7 +359,7 @@ def _pallas_attention_bwd_heads(q, k, v, o, do, scale: float,
                                 memory_space=pltpu.VMEM)
     full = lambda: pl.BlockSpec((1, s_k, c), lambda b, i: (b, 0, 0),
                                 memory_space=pltpu.VMEM)
-    return pl.pallas_call(
+    return vma_pallas_call(
         functools.partial(_attn_bwd_kernel_heads, nq=nq, s_q=s_q,
                           num_heads=num_heads),
         grid=(b, nq),
@@ -549,7 +551,7 @@ def _pallas_attention_shortkey(q, k, v, scale: float, num_heads: int,
     block_q = min(block_q, s_q)
     grid = (b, pl.cdiv(s_q, block_q))
     scale_arr = jnp.full((1,), scale, jnp.float32)
-    return pl.pallas_call(
+    return vma_pallas_call(
         functools.partial(_cross_kernel, num_heads=num_heads, s_k=s_k),
         grid=grid,
         in_specs=[

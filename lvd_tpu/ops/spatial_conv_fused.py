@@ -41,6 +41,8 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+
+from .vma import pallas_call as vma_pallas_call
 from jax.experimental.pallas import tpu as pltpu
 
 
@@ -113,7 +115,7 @@ def _fused(x, a, b, w, bias, *, block_co: int = None, interpret: bool = False):
         block_co = _block_co_for(h * wdim, cin, cout, x.dtype.itemsize)
     grid = (n, cout // block_co)
 
-    return pl.pallas_call(
+    return vma_pallas_call(
         functools.partial(_kernel, wdim=wdim),
         grid=grid,
         scratch_shapes=[pltpu.VMEM((h * wdim, cin), x.dtype)],

@@ -20,6 +20,8 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+
+from .vma import pallas_call as vma_pallas_call
 from jax.experimental.pallas import tpu as pltpu
 
 
@@ -184,7 +186,7 @@ def _fused(x, a, b, w, bias, *, block_p: int = None, interpret: bool = False,
         kernel = _kernel_rowshift
         scratch = [pltpu.VMEM((f * block_p, block_co), jnp.float32)]
 
-    return pl.pallas_call(
+    return vma_pallas_call(
         kernel,
         grid=grid,
         scratch_shapes=scratch,

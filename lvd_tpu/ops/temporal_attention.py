@@ -31,6 +31,8 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+
+from .vma import pallas_call as vma_pallas_call
 from jax.experimental.pallas import tpu as pltpu
 
 _LOG2E = 1.4426950408889634
@@ -309,7 +311,7 @@ def _pallas_pair(p, y, num_heads: int, g: int, eps: float,
                             memory_space=pltpu.VMEM)
     specs = [tile]
     specs += [const() for _ in range(10)]
-    return pl.pallas_call(
+    return vma_pallas_call(
         functools.partial(_tattn_kernel, g=g, f=f, num_heads=num_heads,
                           eps=eps, frames_major=frames_major),
         grid=(b, n_tiles),
@@ -374,7 +376,7 @@ def _pallas_pair_bwd(p, y, ct, num_heads: int, g: int, eps: float,
                             memory_space=pltpu.VMEM)
     specs = [tile, tile]
     specs += [const() for _ in range(10)]
-    return pl.pallas_call(
+    return vma_pallas_call(
         functools.partial(_tattn_bwd_kernel, g=g, f=f, num_heads=num_heads,
                           eps=eps, frames_major=frames_major),
         grid=(b, n_tiles),

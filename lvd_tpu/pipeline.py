@@ -201,12 +201,12 @@ class TextToVideoPipeline:
                 mesh=mesh,
                 in_specs=(P(), frame_spec, P(), P(), g_spec, gl_spec),
                 out_specs=frame_spec,
-                # The Pallas kernels' out_shape ShapeDtypeStructs carry no
-                # vma annotation; jax 0.8's check_vma rejects them inside
-                # shard_map (only reachable on TPU — CPU tests run the XLA
-                # fallbacks). Legacy vma-unchecked behavior is correct here:
-                # every collective in the sharded path is explicit.
-                check_vma=False,
+                # check_vma must stay ON: disabling it changes shard_map's
+                # transpose semantics for the psum'd guidance energy and
+                # silently broke the guided mesh path (round-4 regression).
+                # The Pallas kernels are made vma-legal on TPU by declaring
+                # the mesh axis on their pallas_call outputs instead
+                # (ops/vma.py).
             )
         )
 
