@@ -34,14 +34,37 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Substrings identifying transient axon-tunnel / remote-runtime failures
+# (round 4 lost its driver bench artifact to one of these mid-warmup:
+# "remote_compile: read body: response body closed"). Anything matching is
+# retried; real failures (assertions, numerics) re-raise immediately.
+_TRANSIENT_MARKERS = (
+    "read body",
+    "response body closed",
+    "connection reset",
+    "connection refused",
+    "broken pipe",
+    "socket closed",
+    "deadline exceeded",
+    "unavailable",
+    "internal: ",
+    "remote_compile",
+    "tunnel",
+)
+
+
+def _is_transient(err: BaseException) -> bool:
+    if isinstance(err, AssertionError):
+        return False
+    msg = f"{type(err).__name__}: {err}".lower()
+    return any(m in msg for m in _TRANSIENT_MARKERS)
 
 def main():
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from lvd_tpu.diffusion.guidance import GuidanceConfig
-    from lvd_tpu.models.loader import tiny_pipeline_models
-    from lvd_tpu.pipeline import TextToVideoPipeline
     from lvd_tpu.runners.base import OVERALL_GUIDANCE_ATTN_KEYS
     from lvd_tpu.utils.platform import enable_persistent_compile_cache
 
@@ -54,14 +77,17 @@ def main():
     if tiny:
         jax.config.update("jax_platforms", "cpu")
 
-    if tiny:
-        models = tiny_pipeline_models(
-            attention_type="gated" if gligen else "default"
-        )
-        steps = int(os.environ.get("LVD_BENCH_STEPS", 6))
-        frames = int(os.environ.get("LVD_BENCH_FRAMES", 4))
-        dtype = jnp.float32
-    else:
+    steps = int(os.environ.get("LVD_BENCH_STEPS", 6 if tiny else 40))
+    frames = int(os.environ.get("LVD_BENCH_FRAMES", 4 if tiny else 24))
+    dtype = jnp.float32 if tiny else jnp.bfloat16
+
+    def build_models():
+        if tiny:
+            from lvd_tpu.models.loader import tiny_pipeline_models
+
+            return tiny_pipeline_models(
+                attention_type="gated" if gligen else "default"
+            )
         from lvd_tpu.config import PRESETS
         from lvd_tpu.models import clip as clip_mod
         from lvd_tpu.models import unet3d as unet_mod
@@ -73,41 +99,27 @@ def main():
         k = jax.random.split(jax.random.PRNGKey(0), 3)
         tokenizer = load_tokenizer(None)
         print(f"bench tokenizer: {type(tokenizer).__name__}", file=sys.stderr)
-        models = PipelineModels(
+        return PipelineModels(
             preset=preset,
             unet_params=unet_mod.init_unet3d(k[0], preset.unet),
             clip_params=clip_mod.init_clip_text(k[1], preset.clip),
             vae_params=vae_mod.init_vae(k[2], preset.vae),
             tokenizer=tokenizer,
         )
-        steps = int(os.environ.get("LVD_BENCH_STEPS", 40))
-        frames = int(os.environ.get("LVD_BENCH_FRAMES", 24))
-        dtype = jnp.bfloat16
 
-        # Certify Pallas-kernel numerics on this chip before measuring
-        # (one JSON line per kernel on stderr; VERDICT r2 item 6).
-        if os.environ.get("LVD_BENCH_SKIP_SELFCHECK") != "1":
-            from lvd_tpu.ops.selfcheck import run_all
-
-            assert run_all(out=lambda s: print(s, file=sys.stderr)), (
-                "kernel selfcheck failed — see stderr lines above"
-            )
-
-    mesh = None
-    n_mesh = 0
-    if os.environ.get("LVD_BENCH_MESH"):
+    def make_mesh():
+        if not os.environ.get("LVD_BENCH_MESH"):
+            return None, 0
         import numpy as _np
         from jax.sharding import Mesh
 
         devs = jax.devices()
         n_mesh = len(devs)
-        frames_ = int(os.environ.get("LVD_BENCH_FRAMES", 4 if tiny else 24))
-        while frames_ % n_mesh:
+        while frames % n_mesh:
             n_mesh -= 1  # frames must shard evenly
         mesh = Mesh(_np.array(devs[:n_mesh]), ("data",))
         print(f"bench mesh: {n_mesh} x {devs[0].platform}", file=sys.stderr)
-
-    pipe = TextToVideoPipeline(models, dtype=dtype, mesh=mesh)
+        return mesh, n_mesh
 
     # The reference zeroscope config (README.md:66-69).
     g_cfg = GuidanceConfig(
@@ -121,29 +133,33 @@ def main():
         bg_weight=2.0,
     )
 
+    # Benchmark-protocol shape (eval/benchmark.py attribution/dynamic
+    # tasks): two objects, multi-token phrases — the energy's (O, P)
+    # tensors and top-k run at the sizes the 500-prompt run averages.
+    multi_prompt = ("A white fluffy cat walks toward a brown wooden chair, "
+                    "living room background")
+    move = lambda f: 0.55 * f / max(frames - 1, 1)
+    multi_boxes = [
+        [[0.05 + move(f), 0.45, 0.30 + move(f), 0.80]
+         for f in range(frames)],
+        [[0.65, 0.40, 0.95, 0.85] for _ in range(frames)],
+    ]
+    multi_positions = [[2, 3, 4], [9, 10, 11]]
+
+    flag_prompt = "A bear walks from the left to the right, forest background"
+    flag_boxes = [
+        [
+            [0.05 + 0.8 * f / max(frames - 1, 1), 0.45,
+             0.30 + 0.8 * f / max(frames - 1, 1), 0.80]
+            for f in range(frames)
+        ]
+    ]
+    flag_positions = [[2]]
+
     if multi:
-        # Benchmark-protocol shape (eval/benchmark.py attribution/dynamic
-        # tasks): two objects, multi-token phrases — the energy's (O, P)
-        # tensors and top-k run at the sizes the 500-prompt run averages.
-        prompt = ("A white fluffy cat walks toward a brown wooden chair, "
-                  "living room background")
-        move = lambda f: 0.55 * f / max(frames - 1, 1)
-        boxes = [
-            [[0.05 + move(f), 0.45, 0.30 + move(f), 0.80]
-             for f in range(frames)],
-            [[0.65, 0.40, 0.95, 0.85] for _ in range(frames)],
-        ]
-        object_positions = [[2, 3, 4], [9, 10, 11]]
+        prompt, boxes, object_positions = multi_prompt, multi_boxes, multi_positions
     else:
-        prompt = "A bear walks from the left to the right, forest background"
-        boxes = [
-            [
-                [0.05 + 0.8 * f / max(frames - 1, 1), 0.45,
-                 0.30 + 0.8 * f / max(frames - 1, 1), 0.80]
-                for f in range(frames)
-            ]
-        ]
-        object_positions = [[2]]
+        prompt, boxes, object_positions = flag_prompt, flag_boxes, flag_positions
     backward_guidance = {
         "boxes": boxes,
         "object_positions": object_positions,
@@ -163,33 +179,16 @@ def main():
     else:
         kwargs = dict(backward_guidance=backward_guidance)
 
-    def run(seed):
-        # uint8_device: the decoded frames stay on-device so video i's
-        # host transfer (12.7 MB over the tunnel) overlaps video i+1's
-        # sampling — standard throughput pipelining; every video's bytes
-        # still land on the host inside the timed region.
-        return pipe(
-            prompt,
-            negative_prompt="dull, blurry",
-            num_inference_steps=steps,
-            num_frames=frames,
-            seed=seed,
-            output_type="uint8_device",
-            **kwargs,
-        )
-
-    import numpy as np
-
-    # Warmup: compile everything.
-    np.asarray(run(0))
-
-    # Guidance-effect certification (stderr, like the kernel selfcheck):
-    # in-box attention-mass ratio and CoM distance before vs after guidance
-    # updates at the first inference timestep, flagship shapes. gain > 1
-    # certifies capture -> energy -> grad -> latent update moves attention
-    # into the boxes (the offline stand-in for the env-blocked OWL-ViT
-    # accuracy benchmark).
-    if not gligen and os.environ.get("LVD_BENCH_SKIP_CERTIFY") != "1":
+    def certify(pipe, cert_prompt, cert_boxes, cert_positions, label,
+                min_gain, check_com):
+        """Guidance-effect certification (stderr, like the kernel selfcheck):
+        in-box attention-mass ratio and CoM distance before vs after guidance
+        updates at the first inference timestep. gain > 1 certifies
+        capture -> energy -> grad -> latent update moves attention into the
+        boxes (the offline stand-in for the env-blocked OWL-ViT benchmark).
+        Gates (PERF.md round 5): flagship gain > 1.004 (measured 1.0068 at
+        n_iters=16; the fp32-carry regression this catches measured 1.0007)
+        and CoM distance strictly decreasing."""
         from lvd_tpu.diffusion import dpm_solver as dpm
         from lvd_tpu.diffusion.certify import guidance_effect
         from lvd_tpu.diffusion.sampler import pack_to_arrays
@@ -200,7 +199,7 @@ def main():
         wl = preset_.width // preset_.vae.scale_factor
         attn_keys = tuple(tuple(k) for k in OVERALL_GUIDANCE_ATTN_KEYS)
         pack = make_guidance_pack(
-            boxes, object_positions, attn_keys, (hl, wl),
+            cert_boxes, cert_positions, attn_keys, (hl, wl),
             fg_top_p=g_cfg.fg_top_p, bg_top_p=g_cfg.bg_top_p,
         )
         lat0 = (
@@ -208,14 +207,14 @@ def main():
                 jax.random.PRNGKey(0), (1, frames, hl, wl, 4), jnp.float32
             ) * dpm.INIT_NOISE_SIGMA
         ).astype(dtype)
-        cond_text = pipe.encode_prompt(prompt, "dull, blurry")[1:].astype(dtype)
+        cond_text = pipe.encode_prompt(cert_prompt, "dull, blurry")[1:].astype(dtype)
         eff = guidance_effect(
             pipe.unet_params, preset_.unet, preset_.scheduler,
             lat0, cond_text, pack_to_arrays(pack), attn_keys, g_cfg,
             num_inference_steps=steps, n_iters=4 if tiny else 16,
         )
         print(json.dumps({
-            "metric": "guidance_inbox_gain",
+            "metric": f"guidance_inbox_gain{label}",
             "value": round(eff["gain"], 4),
             **{k: round(v, 5) if isinstance(v, float) else v
                for k, v in eff.items()},
@@ -223,9 +222,15 @@ def main():
         # Tiny random-init models attenuate attention too much for a hard
         # gate; the real-chip flagship run must certify.
         if not tiny:
-            assert eff["gain"] > 1.0, f"guidance certification failed: {eff}"
+            assert eff["gain"] > min_gain, (
+                f"guidance certification{label} failed (gate {min_gain}): {eff}"
+            )
+            if check_com:
+                assert eff["com_dist_after"] < eff["com_dist_before"], (
+                    f"CoM distance did not decrease{label}: {eff}"
+                )
 
-    if mesh is not None:
+    def census(pipe, mesh, n_mesh):
         # Full-shape per-device collective census of the frame-sharded CFG
         # forward (lowering only; the machine-checked ICI input to the
         # multi-chip projection in PERF.md).
@@ -248,36 +253,104 @@ def main():
                                   spmd_axis="data")
             return eps
 
-        census = audit_collectives(
+        result = audit_collectives(
             shard_map(_fwd, mesh=mesh,
                       in_specs=(P(), P(None, "data"), P()),
-                      out_specs=P(None, "data"),
-                      # On TPU the Pallas kernels engage; their out_shape
-                      # ShapeDtypeStructs carry no vma annotation.
-                      check_vma=False),
+                      out_specs=P(None, "data")),
             pipe.unet_params, lat_s, txt_s, n_devices=n_mesh,
         )
-        print(json.dumps({"collective_census_per_cfg_fwd": census}),
+        print(json.dumps({"collective_census_per_cfg_fwd": result}),
               file=sys.stderr)
 
-    n_trials = 1 if tiny else 3
-    t0 = time.time()
-    pending = None
-    dispatch = 0.0
-    for i in range(n_trials):
-        td = time.time()
-        fut = run(i + 1)
-        dispatch += time.time() - td
-        if pending is not None:
-            np.asarray(pending)
-        pending = fut
-    np.asarray(pending)
-    sec = (time.time() - t0) / n_trials
-    # Host-side serial cost per video (prompt encode, box rasterization,
-    # guidance-pack transfers, dispatch) — the part device work can't hide.
-    print(json.dumps({"metric": "host_dispatch_sec",
-                      "value": round(dispatch / n_trials, 3)}),
-          file=sys.stderr)
+    def attempt():
+        """One full bench attempt: build, selfcheck, warm, certify, time.
+        Everything device-touching lives here so a transient tunnel failure
+        can restart from scratch."""
+        from lvd_tpu.pipeline import TextToVideoPipeline
+
+        # Certify Pallas-kernel numerics on this chip before measuring
+        # (one JSON line per kernel on stderr; VERDICT r2 item 6).
+        if not tiny and os.environ.get("LVD_BENCH_SKIP_SELFCHECK") != "1":
+            from lvd_tpu.ops.selfcheck import run_all
+
+            assert run_all(out=lambda s: print(s, file=sys.stderr)), (
+                "kernel selfcheck failed — see stderr lines above"
+            )
+
+        models = build_models()
+        mesh, n_mesh = make_mesh()
+        pipe = TextToVideoPipeline(models, dtype=dtype, mesh=mesh)
+
+        def run(seed):
+            # uint8_device: the decoded frames stay on-device so video i's
+            # host transfer (12.7 MB over the tunnel) overlaps video i+1's
+            # sampling — standard throughput pipelining; every video's bytes
+            # still land on the host inside the timed region.
+            return pipe(
+                prompt,
+                negative_prompt="dull, blurry",
+                num_inference_steps=steps,
+                num_frames=frames,
+                seed=seed,
+                output_type="uint8_device",
+                **kwargs,
+            )
+
+        # Warmup: compile everything.
+        np.asarray(run(0))
+
+        if not gligen and os.environ.get("LVD_BENCH_SKIP_CERTIFY") != "1":
+            certify(pipe, prompt, boxes, object_positions, "",
+                    min_gain=1.004 if not multi else 1.0,
+                    check_com=not multi)
+            if (not multi and not tiny
+                    and os.environ.get("LVD_BENCH_CERTIFY_MULTI") != "0"):
+                # Also certify at the 2-object benchmark-protocol shape
+                # (round-4 verdict item 7). Gate calibrated in PERF.md.
+                certify(pipe, multi_prompt, multi_boxes, multi_positions,
+                        "_multi", min_gain=1.0, check_com=False)
+
+        if mesh is not None:
+            census(pipe, mesh, n_mesh)
+
+        n_trials = 1 if tiny else 3
+        t0 = time.time()
+        pending = None
+        dispatch = 0.0
+        for i in range(n_trials):
+            td = time.time()
+            fut = run(i + 1)
+            dispatch += time.time() - td
+            if pending is not None:
+                np.asarray(pending)
+            pending = fut
+        np.asarray(pending)
+        sec = (time.time() - t0) / n_trials
+        # Host-side serial cost per video (prompt encode, box rasterization,
+        # guidance-pack transfers, dispatch) — the part device work can't
+        # hide.
+        print(json.dumps({"metric": "host_dispatch_sec",
+                          "value": round(dispatch / n_trials, 3)}),
+              file=sys.stderr)
+        return sec, n_mesh, mesh is not None
+
+    # One retry on transient tunnel/remote-runtime failures: round 4 lost
+    # its only driver-captured artifact to a single mid-warmup tunnel flake
+    # the code had nothing to do with (VERDICT r4 weak #2).
+    max_attempts = int(os.environ.get("LVD_BENCH_MAX_ATTEMPTS", 3))
+    for i in range(max_attempts):
+        try:
+            sec, n_mesh, meshed = attempt()
+            break
+        except Exception as e:  # noqa: BLE001 — filtered by _is_transient
+            if i + 1 >= max_attempts or not _is_transient(e):
+                raise
+            print(json.dumps({
+                "metric": "bench_retry",
+                "attempt": i + 1,
+                "error": f"{type(e).__name__}: {e}"[:300],
+            }), file=sys.stderr)
+            time.sleep(20.0)
 
     metric = "sec_per_video"
     if gligen:
@@ -290,10 +363,9 @@ def main():
         "unit": "s",
         "vs_baseline": round(10.0 / sec, 3),
     }
-    if mesh is not None:
+    if meshed:
         out["mesh_devices"] = n_mesh
     print(json.dumps(out))
-
 
 if __name__ == "__main__":
     main()
