@@ -28,6 +28,9 @@ import os
 
 # Kill-switch for the fused/chunked attention paths (debugging).
 _DISABLE_FUSED = os.environ.get("LVD_DISABLE_FLASH") == "1"
+# Kill-switch for the Pallas projection linears around the attention
+# kernels (ops/linear_fused.py; routed only on TPU via supported()).
+_DISABLE_FUSED_LINEAR = os.environ.get("LVD_DISABLE_FUSED_LINEAR") == "1"
 
 # The projected-attention entry points route every non-captured attention
 # through the head-packed Pallas kernels: long keys (spatial self-attention,
@@ -108,11 +111,8 @@ def attention(
     pre-transform (reference semantics).
     """
     context = hidden_states if encoder_hidden_states is None else encoder_hidden_states
-    q = linear(p["to_q"], hidden_states)
-    k = linear(p["to_k"], context)
-    v = linear(p["to_v"], context)
-    short_key = k.shape[-2] < _FUSED_MIN_KEY_LEN
-    if (
+    short_key = context.shape[-2] < _FUSED_MIN_KEY_LEN
+    fused_path = (
         not return_probs
         and probs_transform is None
         and not _DISABLE_FUSED
@@ -121,7 +121,22 @@ def attention(
         # benefit from it on TPU (Pallas kernel); off-TPU the small einsum
         # is faster than the chunked scan.
         and (not short_key or jax.default_backend() == "tpu")
-    ):
+    )
+    in_lin = linear
+    if fused_path and not _DISABLE_FUSED_LINEAR:
+        # q/k/v feed the Pallas attention kernels directly; the resident
+        # Pallas linear emits their pinned default layout without the
+        # relayout copy XLA's preferred dot layout would force (PERF.md
+        # round-4 census; see linear_fused.py). Engaged ONLY on the fused
+        # path: the captured/probs einsum prefers XLA's own layouts.
+        from . import linear_fused
+
+        if linear_fused.supported(p["to_q"]["w"], hidden_states):
+            in_lin = linear_fused.maybe_linear
+    q = in_lin(p["to_q"], hidden_states)
+    k = in_lin(p["to_k"], context)
+    v = in_lin(p["to_v"], context)
+    if fused_path:
         # Head-packed fused path: q/k/v stay (B, S, H*D) end to end — no
         # (B*H, S, D) relayouts in HBM around the kernel. attention_packed
         # picks the short-key (VMEM-resident padded K/V) or long-key
@@ -130,7 +145,18 @@ def attention(
 
         d = q.shape[-1] // num_heads
         out = pallas_attention.attention_packed(q, k, v, d ** -0.5, num_heads)
-        return linear(p["to_out"], out), None
+        out_lin = linear
+        if not _DISABLE_FUSED_LINEAR:
+            # The out-projection sits directly on a Pallas boundary: XLA's
+            # preferred {1,0,2} dot layout forces an 88.5 MB relayout copy
+            # per L0 site against the kernel's pinned default layout
+            # (round-4 HLO census, PERF.md). The resident-weights Pallas
+            # linear emits the default layout natively.
+            from . import linear_fused
+
+            if linear_fused.supported(p["to_out"]["w"], out):
+                out_lin = linear_fused.linear
+        return out_lin(p["to_out"], out), None
     out, probs = sdpa(
         _split_heads(q, num_heads),
         _split_heads(k, num_heads),

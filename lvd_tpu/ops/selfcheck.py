@@ -354,7 +354,27 @@ def check_temporal_pair_bwd(key):
     return run(params, y, ct)
 
 
+def check_linear(key):
+    """Resident-weights linear kernel vs jnp.dot + bias."""
+    from .linear_fused import _fused_rows
+
+    k1, k2, k3 = jax.random.split(key, 3)
+    rows, c, n = 4096, 320, 320
+    x = jax.random.normal(k1, (rows, c), jnp.bfloat16)
+    w = jax.random.normal(k2, (c, n), jnp.bfloat16) * 0.05
+    b = jax.random.normal(k3, (n,), jnp.bfloat16) * 0.01
+
+    @jax.jit
+    def run(x, w, b):
+        want = (jnp.dot(x, w, preferred_element_type=jnp.float32)
+                + b.astype(jnp.float32)).astype(x.dtype)
+        return _divergence(_fused_rows(x, w, b), want)
+
+    return run(x, w, b)
+
+
 CHECKS = {
+    "linear_fused": check_linear,
     "flash_fwd": check_flash,
     "flash_bwd": check_flash_bwd,
     "flash_heads": check_heads,

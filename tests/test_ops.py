@@ -165,3 +165,21 @@ def test_geglu_matches_torch():
     approx = "tanh" if geglu_fused.GELU_FORM == "tanh" else "none"
     theirs = (h * F.gelu(gate, approximate=approx)).numpy()
     np.testing.assert_allclose(_np(ours), theirs, rtol=1e-4, atol=1e-5)
+
+
+def test_linear_fused_kernel_interpret():
+    """Resident-weights Pallas linear (ops/linear_fused.py) must reproduce
+    jnp.dot + bias exactly in interpret mode, with and without bias."""
+    from lvd_tpu.ops import linear_fused as lf
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((300, 128)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((128, 256)).astype(np.float32)) * 0.1
+    b = jnp.asarray(rng.standard_normal(256).astype(np.float32)) * 0.1
+
+    got = lf._fused_rows(x, w, b, block_m=128, interpret=True)
+    want = x @ w + b
+    np.testing.assert_allclose(_np(got), _np(want), rtol=2e-5, atol=2e-5)
+
+    got_nb = lf._fused_rows(x, w, None, block_m=128, interpret=True)
+    np.testing.assert_allclose(_np(got_nb), _np(x @ w), rtol=2e-5, atol=2e-5)
