@@ -53,10 +53,23 @@ _TRANSIENT_MARKERS = (
 )
 
 
+# Deterministic failures that can hide inside an INTERNAL/HTTP-500 wrapper
+# (e.g. a compile-time VMEM OOM surfaces as "remote_compile: HTTP 500");
+# retrying these wastes full compile cycles.
+_NON_TRANSIENT_MARKERS = (
+    "ran out of memory",
+    "resource_exhausted",
+    "vmem limit",
+    "exceeded scoped vmem",
+)
+
+
 def _is_transient(err: BaseException) -> bool:
     if isinstance(err, AssertionError):
         return False
     msg = f"{type(err).__name__}: {err}".lower()
+    if any(m in msg for m in _NON_TRANSIENT_MARKERS):
+        return False
     return any(m in msg for m in _TRANSIENT_MARKERS)
 
 def main():

@@ -43,10 +43,26 @@ def _linear_kernel_nobias(x_ref, w_ref, o_ref):
     ).astype(o_ref.dtype)
 
 
-def _fused_rows(x, w, b=None, *, block_m: int = 1024, interpret: bool = False):
+def _block_m_for(r: int, c: int, n: int, itemsize: int) -> int:
+    """Largest row block whose working set fits the ~16 MB scoped-VMEM
+    stack: double-buffered x and out tiles, the resident weights, and the
+    kernel's fp32 dot accumulator (the piece that blew the limit at
+    C=N=1280 with a fixed 1024 block: 16.46M > 16.00M)."""
+    weights = c * n * itemsize
+    per_row = 2 * c * itemsize + 2 * n * itemsize + 4 * n
+    budget = 14 * 1024 * 1024 - weights
+    bm = 1024
+    while bm > 128 and bm * per_row > budget:
+        bm //= 2
+    return min(bm, r)
+
+
+def _fused_rows(x, w, b=None, *, block_m: int = None, interpret: bool = False):
     """x: (R, C) @ w: (C, N) (+ b: (N,)) -> (R, N), default layout in/out."""
     r, c = x.shape
     n = w.shape[1]
+    if block_m is None:
+        block_m = _block_m_for(r, c, n, x.dtype.itemsize)
     block_m = min(block_m, r)
     full = lambda shape: pl.BlockSpec(
         shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)

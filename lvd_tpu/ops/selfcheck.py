@@ -366,6 +366,26 @@ def check_temporal_pair_bwd(key):
     return run(params, y, ct)
 
 
+def check_conv3x3(key):
+    """Pallas 3x3 SAME conv vs XLA's conv emitter at the L0 shape."""
+    from .conv3x3 import _conv3x3_pallas
+
+    k1, k2 = jax.random.split(key)
+    x = jax.random.normal(k1, (4, 40, 72, 320), jnp.bfloat16)
+    w = jax.random.normal(k2, (3, 3, 320, 320), jnp.bfloat16) * (
+        9 * 320
+    ) ** -0.5
+
+    @jax.jit
+    def run(x, w):
+        want = jax.lax.conv_general_dilated(
+            x, w, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return _divergence(_conv3x3_pallas(x, w), want)
+
+    return run(x, w)
+
+
 def check_linear(key):
     """Resident-weights linear kernel vs jnp.dot + bias."""
     from .linear_fused import _fused_rows
@@ -386,6 +406,7 @@ def check_linear(key):
 
 
 CHECKS = {
+    "conv3x3": check_conv3x3,
     "linear_fused": check_linear,
     "flash_fwd": check_flash,
     "flash_bwd": check_flash_bwd,

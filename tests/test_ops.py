@@ -183,3 +183,19 @@ def test_linear_fused_kernel_interpret():
 
     got_nb = lf._fused_rows(x, w, None, block_m=128, interpret=True)
     np.testing.assert_allclose(_np(got_nb), _np(x @ w), rtol=2e-5, atol=2e-5)
+
+
+def test_conv3x3_kernel_interpret():
+    """Pallas 3x3 SAME conv (ops/conv3x3.py) must reproduce
+    lax.conv_general_dilated, including the H-edge halo rows the
+    overlapping pl.Element windows read from the pre-padded input."""
+    from lvd_tpu.ops.conv3x3 import _conv3x3_pallas
+
+    k = jax.random.split(jax.random.PRNGKey(3), 2)
+    x = jax.random.normal(k[0], (2, 16, 12, 64), jnp.float32)
+    w = jax.random.normal(k[1], (3, 3, 64, 128), jnp.float32) * 0.05
+    want = jax.lax.conv_general_dilated(
+        x, w, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    got = _conv3x3_pallas(x, w, interpret=True)
+    np.testing.assert_allclose(_np(got), _np(want), rtol=1e-5, atol=1e-5)
