@@ -36,10 +36,10 @@ from .vma import pallas_call as vma_pallas_call
 
 
 def _conv_kernel(x_ref, w_ref, o_ref, *, bm: int, w_dim: int):
-    """x_ref: (bm+2, W+2, C); w_ref: (9, C, N); o_ref: (bm, W, N)."""
+    """x_ref: (1, bm+2, W+2, C); w_ref: (9, C, N); o_ref: (bm, W, N)."""
     acc = None
     for dy in range(3):
-        v = x_ref[dy : dy + bm, :, :]  # (bm, W+2, C)
+        v = x_ref[0, dy : dy + bm, :, :]  # (bm, W+2, C)
         vm = v.reshape(bm * (w_dim + 2), v.shape[-1])
         for dx in range(3):
             y = jax.lax.dot_general(
@@ -61,9 +61,12 @@ def _conv3x3_pallas(x, w, *, bm: int = 8, interpret: bool = False):
         functools.partial(_conv_kernel, bm=bm, w_dim=wd),
         grid=grid,
         in_specs=[
+            # Mosaic requires every dim to be Element once one is — the
+            # overlapping row window (stride bm < size bm+2) forces
+            # element-indexed starts on all four dims.
             pl.BlockSpec(
-                (pl.Squeezed(), pl.Element(bm + 2), pl.Blocked(wd + 2),
-                 pl.Blocked(c)),
+                (pl.Element(1), pl.Element(bm + 2), pl.Element(wd + 2),
+                 pl.Element(c)),
                 lambda b, i: (b, i * bm, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
