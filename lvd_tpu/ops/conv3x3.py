@@ -17,6 +17,16 @@ collapse. The one-time XLA pad of the input costs one extra read+write of
 the activation stream — priced into the sweep before routing anything
 through this kernel (tools/sweep_conv_l0.py pallas rows).
 
+MEASURED REJECTION (round 5, real v5e chip): this kernel runs 78-87 TF/s
+at every L0 shape and block size (960->320: 8.74/8.83 ms at bm=8/10;
+640->320: 6.46/6.55; 320->320: 3.02/3.04 at bm=8/20) vs XLA's emitter at
+110-148 — the 9 per-tap fp32 value slices on the second-minor axis force
+a Mosaic vector relayout each, and the alternatives (sublane-misaligned
+row-shift accumulates, W-major layouts needing an input transpose) cost
+as much as they save. NOT routed into the model; kept as the recorded
+experiment with its interpret test and on-chip selfcheck. XLA's L0 conv
+throughput stands as the measured floor (PERF.md round 5).
+
 Reference counterpart: the spatial resnet convs inside the 3D UNet blocks
 (reference models/unet_3d_blocks.py via diffusers ResnetBlock2D); there
 they are cuDNN calls — on TPU the kernel-vs-emitter tradeoff is ours to

@@ -181,8 +181,14 @@ def check_temporal_pair(key):
 
     @jax.jit
     def run(params, y):
+        # fp32 ground truth (see check_temporal_pair_bwd): comparing two
+        # bf16 formulations leaves only ~25% margin under the 2e-2 gate
+        # and shifts with the per-check PRNG key.
+        p32 = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a, jnp.float32), params
+        )
         return _divergence(temporal_attention_pair(params, y, nh),
-                           _pair_ref(params, y, nh, 1e-5))
+                           _pair_ref(p32, y.astype(jnp.float32), nh, 1e-5))
 
     return run(params, y)
 
@@ -219,7 +225,12 @@ def check_temporal_pair_fm(key):
     @jax.jit
     def run(params, y):
         got = temporal_attention_pair(params, y, nh, frames_major=True)
-        want = _pair_ref(params, y.transpose(0, 2, 1, 3), nh, 1e-5)
+        # fp32 ground truth (see check_temporal_pair).
+        p32 = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a, jnp.float32), params
+        )
+        want = _pair_ref(
+            p32, y.transpose(0, 2, 1, 3).astype(jnp.float32), nh, 1e-5)
         return _divergence(got.transpose(0, 2, 1, 3), want)
 
     return run(params, y)
@@ -427,7 +438,11 @@ CHECKS = {
 # 0.018-0.031 across seeds (<=1.9x the XLA-bf16 error, different rounding
 # order). 0.045 gates ~1.5x above the measured band without masking a real
 # formulation bug (which would land >0.1).
-TOLS = {"temporal_pair_bwd": 4.5e-2}
+TOLS = {
+    "temporal_pair": 4.5e-2,
+    "temporal_pair_fm": 4.5e-2,
+    "temporal_pair_bwd": 4.5e-2,
+}
 
 
 def run_all(tol: float = DEFAULT_TOL, out=print) -> bool:

@@ -146,17 +146,24 @@ def main():
         timed(f"{cin}->{cout} padH48", v_padh, x, w, gf)
         timed(f"{cin}->{cout} padW80", v_padw, x, w, gf)
         timed(f"{cin}->{cout} padHW", v_padhw, x, w, gf)
-        def v_pallas(x, w):
+        def v_pallas(bm):
             from lvd_tpu.ops.conv3x3 import _conv3x3_pallas
 
-            return _conv3x3_pallas(x, w)
+            def f(x, w):
+                return _conv3x3_pallas(x, w, bm=bm)
+
+            return f
 
         timed(f"{cin}->{cout} swapHW", v_swap, x, w, gf)
         if cin > 320:
             timed(f"{cin}->{cout} cinsplit320", v_cinsplit, x, w, gf)
         if cin == 320:
             timed(f"{cin}->{cout} tap-dots", v_tapdots, x, w, gf)
-        timed(f"{cin}->{cout} pallas", v_pallas, x, w, gf)
+        # bm must divide H=40 (Element windows have no partial-block
+        # masking); VMEM ceiling: window(2x) + weights + fp32 acc + out(2x).
+        bms = {960: (8, 10, 20), 640: (8, 10, 20), 320: (8, 20, 40)}[cin]
+        for bm in bms:
+            timed(f"{cin}->{cout} pallas-bm{bm}", v_pallas(bm), x, w, gf)
 
 
 if __name__ == "__main__":
