@@ -38,7 +38,6 @@ def pallas_call(kernel, **kwargs):
         vma = frozenset()
         for a in args:
             vma |= _vma_of(a)
-        kw = kwargs
         if vma:
             args = tuple(
                 a
@@ -48,11 +47,17 @@ def pallas_call(kernel, **kwargs):
                 )
                 for a in args
             )
-            out_shape = jax.tree_util.tree_map(
-                lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype, vma=vma),
-                kwargs["out_shape"],
-            )
-            kw = dict(kwargs, out_shape=out_shape)
-        return pl.pallas_call(kernel, **kw)(*args)
+        # ALWAYS annotate, even with an empty union: inside shard_map a
+        # kernel whose operands are all replicated (e.g. the cross-attn k/v
+        # projections of the replicated text embeddings) still needs an
+        # explicit vma=frozenset() — None is rejected. Outside shard_map
+        # the empty annotation is inert.
+        out_shape = jax.tree_util.tree_map(
+            lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype, vma=vma),
+            kwargs["out_shape"],
+        )
+        return pl.pallas_call(kernel, **dict(kwargs, out_shape=out_shape))(
+            *args
+        )
 
     return call
