@@ -40,6 +40,7 @@ _SHAPE = re.compile(r"(bf16|f32|f16|s32|u32|s8|u8|pred|s64|u64)\[([0-9,]*)\]")
 _BYTES = {"bf16": 2, "f32": 4, "f16": 2, "s32": 4, "u32": 4, "s8": 1,
           "u8": 1, "pred": 1, "s64": 8, "u64": 8}
 _SRC = re.compile(r'source_file="([^"]+)".*?source_line=(\d+)')
+_BRACES = re.compile(r"\{[^{}]*\}")
 _DEF = re.compile(r"^%?([\w.\-]+) = (?:\(?)((?:\w+\[[0-9,]*\][^ ]*(?:, )?)+)\)? (\w[\w\-]*)\(")
 _COMP_HDR = re.compile(r"^%?([\w.\-]+) (?:\([^)]*\))? ?-> .* \{$|^%?([\w.\-]+) \{$")
 _CALLS = re.compile(r"calls=%?([\w.\-]+)")
@@ -96,12 +97,20 @@ def parse_module(text: str):
         if not m:
             continue
         name, rest = m.group(1), m.group(2)
-        km = re.match(r"(?:\(?[\w\[\],{}\s\/#*]*\)?\s)?(\w[\w\-]*)\(", rest)
-        # robust kind extraction: last word before the first "("
-        head = rest.split("(", 1)[0].strip()
-        kind = head.split(" ")[-1] if head else "?"
-        out_bytes = _shape_list_bytes(rest.split("(", 1)[0])
-        om = _OPERANDS.search(rest)
+        # TPU HLO layouts carry tiling parens — bf16[...]{3,0,2,1:T(8,128)
+        # (2,1)} — which break any "split at first paren" parsing (the bug
+        # that made the first real-chip census report ZERO copies). Strip
+        # every brace group first; shapes/attrs then contain no parens, so
+        # the op kind is the first identifier directly before a "(".
+        clean = _BRACES.sub("", rest)
+        while _BRACES.search(clean):
+            clean = _BRACES.sub("", clean)
+        km = re.search(r"([a-z][\w\-]*)\(", clean)
+        if not km:
+            continue
+        kind = km.group(1)
+        out_bytes = _shape_list_bytes(clean[: km.start()])
+        om = re.match(r"\(([^()]*)\)", clean[km.end() - 1:])
         operands = []
         if om:
             for tok in om.group(1).split(","):
@@ -114,7 +123,6 @@ def parse_module(text: str):
         table[name] = ins
         if is_root:
             cur["root_kind"] = kind
-        del km
     return comps, table
 
 
@@ -290,10 +298,19 @@ def main():
         eps, _ = unet_mod.apply_unet3d(p, cfg, lat, 500, txt)
         return eps
 
-    compiled = jax.jit(fwd).lower(params, lat, txt).compile()
-    texts = [m.to_string() for m in compiled.runtime_executable().hlo_modules()] \
-        if hasattr(compiled, "runtime_executable") else [compiled.as_text()]
-    text = "\n".join(texts)
+    dump = os.environ.get("LVD_CENSUS_DUMP", "/tmp/hlo_census_dump.txt")
+    if os.environ.get("LVD_CENSUS_FROM"):
+        with open(os.environ["LVD_CENSUS_FROM"]) as f:
+            text = f.read()
+    else:
+        compiled = jax.jit(fwd).lower(params, lat, txt).compile()
+        texts = [m.to_string()
+                 for m in compiled.runtime_executable().hlo_modules()] \
+            if hasattr(compiled, "runtime_executable") else [compiled.as_text()]
+        text = "\n".join(texts)
+        if dump:
+            with open(dump, "w") as f:
+                f.write(text)
     print(f"optimized HLO: {len(text) / 1e6:.1f} MB", file=sys.stderr)
 
     comps, table = parse_module(text)
