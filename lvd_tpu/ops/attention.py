@@ -28,9 +28,15 @@ import os
 
 # Kill-switch for the fused/chunked attention paths (debugging).
 _DISABLE_FUSED = os.environ.get("LVD_DISABLE_FLASH") == "1"
-# Kill-switch for the Pallas projection linears around the attention
+# Opt-in switch for the Pallas projection linears around the attention
 # kernels (ops/linear_fused.py; routed only on TPU via supported()).
-_DISABLE_FUSED_LINEAR = os.environ.get("LVD_DISABLE_FUSED_LINEAR") == "1"
+# MEASURED REJECTION as the default (round 5, flagship bench): ON 17.893
+# s/video vs OFF 17.599 — the resident kernel removes ~2 GB/fwd of
+# Pallas-boundary relayout copies (HLO census) but its per-site slowdown
+# vs the XLA dot (tools/sweep_linear_layout.py: L0 0.354 vs 0.282 ms) and
+# its custom-VJP backward in the guided update cost more than the copies
+# save. Kept as an experiment switch.
+_FUSED_LINEAR = os.environ.get("LVD_FUSED_LINEAR") == "1"
 
 # The projected-attention entry points route every non-captured attention
 # through the head-packed Pallas kernels: long keys (spatial self-attention,
@@ -123,7 +129,7 @@ def attention(
         and (not short_key or jax.default_backend() == "tpu")
     )
     in_lin = linear
-    if fused_path and not _DISABLE_FUSED_LINEAR:
+    if fused_path and _FUSED_LINEAR:
         # q/k/v feed the Pallas attention kernels directly; the resident
         # Pallas linear emits their pinned default layout without the
         # relayout copy XLA's preferred dot layout would force (PERF.md
@@ -146,7 +152,7 @@ def attention(
         d = q.shape[-1] // num_heads
         out = pallas_attention.attention_packed(q, k, v, d ** -0.5, num_heads)
         out_lin = linear
-        if not _DISABLE_FUSED_LINEAR:
+        if _FUSED_LINEAR:
             # The out-projection sits directly on a Pallas boundary: XLA's
             # preferred {1,0,2} dot layout forces an 88.5 MB relayout copy
             # per L0 site against the kernel's pinned default layout

@@ -14,6 +14,15 @@ Used only where `supported()` says the weights fit the VMEM budget and the
 shapes tile; everything else stays on `jnp.dot` (reference hot path:
 attention_processor.py:241-247 baddbmm — here the equivalent projection
 matmuls around the SDPA sites).
+
+MEASURED REJECTION as the default route (round 5, real v5e): with the
+attention projections routed through this kernel the flagship bench is
+17.893 s/video vs 17.599 without — removing ~2 GB/fwd of boundary
+relayout copies (census-verified) does not pay for the kernel's per-site
+deficit vs the XLA dot (tools/sweep_linear_layout.py: L0-shaped 0.354 vs
+0.282 ms standalone) plus its custom-VJP backward in the guided update.
+Opt-in via LVD_FUSED_LINEAR=1 (ops/attention.py); the kernel stays
+selfchecked on-chip.
 """
 
 from __future__ import annotations
