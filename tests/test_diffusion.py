@@ -254,6 +254,50 @@ def test_ca_energy_research_knobs():
     assert bool(jnp.all(jnp.isfinite(g2)))
 
 
+def test_ca_energy_attn_renorm_exact():
+    """attn_renorm semantics pinned exactly (reference utils/guidance.py:
+    220-222): the renormed energy equals the plain energy computed on a
+    manually re-softmaxed map (drop SOT + tail at/after EOT, scale 2.0)
+    with all token indices shifted down by one."""
+    pack, attn, keys = _toy_pack_and_attn()
+    nt = 16
+
+    def energy(a, cfg, pk):
+        key = keys[0]
+        return ca_energy_for_key(
+            a,
+            jnp.asarray(pk.masks[key]),
+            jnp.asarray(pk.token_indices),
+            jnp.asarray(pk.token_mask),
+            jnp.asarray(pk.k_fg[key]),
+            jnp.asarray(pk.k_bg[key]),
+            cfg,
+        )
+
+    rn_cfg = GuidanceConfig(
+        fg_top_p=0.5, bg_top_p=0.5, attn_renorm=True,
+        renorm_num_tokens=nt, renorm_scale=2.0,
+    )
+    got = float(energy(attn, rn_cfg, pack))
+
+    # Manual mirror: re-softmax over tokens 1..nt-2, place at indices-1.
+    a = np.asarray(attn)[..., 1 : nt - 1] * 2.0
+    a = np.exp(a - a.max(-1, keepdims=True))
+    a = a / a.sum(-1, keepdims=True)
+    manual = np.zeros_like(np.asarray(attn))
+    manual[..., : nt - 2] = a
+    boxes = [
+        [[0.1, 0.1, 0.5, 0.6]] * 3,
+        [[0.0, 0.0, 0.0, 0.0]] * 2 + [[0.5, 0.5, 0.9, 0.9]],
+    ]
+    shifted = make_guidance_pack(
+        boxes, [[1, 2], [4]], keys, (8, 12), 0.5, 0.5
+    )
+    want = float(energy(jnp.asarray(manual),
+                        GuidanceConfig(fg_top_p=0.5, bg_top_p=0.5), shifted))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
 def test_guidance_effect_certification():
     """diffusion/certify.guidance_effect (the bench-warmup stand-in for the
     env-blocked OWL-ViT accuracy benchmark): applying the sampler's guided

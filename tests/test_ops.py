@@ -185,6 +185,21 @@ def test_linear_fused_kernel_interpret():
     np.testing.assert_allclose(_np(got_nb), _np(x @ w), rtol=2e-5, atol=2e-5)
 
 
+def test_linear_fused_block_sizing():
+    """_block_m_for must keep the kernel's scoped-VMEM working set (double
+    buffered x/out tiles + resident weights + fp32 accumulator) under the
+    16 MB stack that the fixed 1024 block overflowed at C=N=1280."""
+    from lvd_tpu.ops.linear_fused import _block_m_for
+
+    for c, n in ((320, 320), (640, 640), (1280, 1280), (320, 2560)):
+        bm = _block_m_for(10 ** 6, c, n, 2)
+        working = bm * (2 * 2 * c + 2 * 2 * n + 4 * n) + c * n * 2
+        assert working <= 14 * 1024 * 1024, (c, n, bm, working)
+        assert bm >= 128
+    assert _block_m_for(10 ** 6, 1280, 1280, 2) == 512
+    assert _block_m_for(64, 320, 320, 2) == 64  # clamped to rows
+
+
 def test_conv3x3_kernel_interpret():
     """Pallas 3x3 SAME conv (ops/conv3x3.py) must reproduce
     lax.conv_general_dilated, including the H-edge halo rows the
