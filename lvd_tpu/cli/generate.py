@@ -56,6 +56,7 @@ INT_ARGS = [
     "use_ratio_based_loss", "boxdiff_normed", "boxdiff_L",
     "upsample_scale",
 ]
+STR_ARGS = ["upsample_mode"]
 
 
 def build_parser():
@@ -81,6 +82,8 @@ def build_parser():
         p.add_argument("--" + a, default=None, type=float)
     for a in INT_ARGS:
         p.add_argument("--" + a, default=None, type=int)
+    for a in STR_ARGS:
+        p.add_argument("--" + a, default=None, type=str)
     return p
 
 
@@ -158,7 +161,7 @@ def main(argv=None):
 
     run_kwargs = {
         a: getattr(args, a)
-        for a in FLOAT_ARGS + INT_ARGS
+        for a in FLOAT_ARGS + INT_ARGS + STR_ARGS
         if getattr(args, a) is not None
     }
 
