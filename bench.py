@@ -319,9 +319,12 @@ def main():
             if (not multi and not tiny
                     and os.environ.get("LVD_BENCH_CERTIFY_MULTI") != "0"):
                 # Also certify at the 2-object benchmark-protocol shape
-                # (round-4 verdict item 7). Gate calibrated in PERF.md.
+                # (round-4 verdict item 7). Gate calibrated round 5: three
+                # independent real-chip runs measured gain 1.00111-1.00114
+                # (seed-deterministic); 1.0008 trips on a ~30% effect loss
+                # while clearing the measured band with ~30% margin.
                 certify(pipe, multi_prompt, multi_boxes, multi_positions,
-                        "_multi", min_gain=1.0, check_com=False)
+                        "_multi", min_gain=1.0008, check_com=False)
 
         if mesh is not None:
             census(pipe, mesh, n_mesh)
