@@ -248,6 +248,12 @@ def cost_table(comps, table, entry_name: str):
         ms = max(ms_bw, ms_mxu)
         site = _site_of(ins.line)
         if ins.kind == "custom-call":
+            # Every Pallas call shares the wrapper's source line (vma.py),
+            # and the Mosaic op_name carries no path — attribute by output
+            # shape instead, which separates the kernel families.
+            sm = _SHAPE.search(ins.line)
+            if sm:
+                site = f"pallas {sm.group(1)}[{sm.group(2)}]"
             flagged[site] += 1  # Pallas: bytes-only floor, measured elsewhere
         a = agg[site]
         a[0] += ms
